@@ -1,0 +1,165 @@
+"""Graph containers: per-molecule ``GraphData`` and padded ``GraphBatch``.
+
+``GraphData`` replaces PyG's ``Data`` (reference ``gt_pyg/data/utils.py:
+526-540``) as plain numpy arrays. ``GraphBatch`` replaces
+``Batch.from_data_list`` with a TPU-friendly fixed-shape layout:
+
+* nodes/edges concatenated (disjoint union) then padded to bucketed sizes;
+* edges sorted by destination node (CSR-like segments) so segment
+  softmax/aggregation run on sorted indices;
+* padding edges point at a trash node slot (index ``num_nodes``), padding
+  nodes at a trash graph slot (index ``num_graphs``), so jit-compiled
+  segment ops use ``num_segments = size + 1`` and slice the trash off.
+
+The batch is a pytree and can be donated to jit-compiled steps directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class GraphData:
+    """One molecular graph (host-side, numpy)."""
+
+    x: np.ndarray            # [N, F] float32
+    edge_index: np.ndarray   # [2, E] int64 (COO, both directions)
+    edge_attr: np.ndarray    # [E, D] float32
+    y: Optional[np.ndarray] = None       # [1, T] float32
+    y_mask: Optional[np.ndarray] = None  # [1, T] float32
+    smiles: Optional[str] = None
+    compound_id: object = None
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.x.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_index.shape[1])
+
+
+@dataclasses.dataclass
+class GraphBatch:
+    """Fixed-shape padded batch of graphs (device-ready pytree).
+
+    Shapes: Np = padded node count, Ep = padded edge count, Bp = padded
+    graph count, F/D/T = node/edge/task feature dims.
+    """
+
+    node_x: np.ndarray       # [Np, F]
+    edge_attr: np.ndarray    # [Ep, D]
+    edge_src: np.ndarray     # [Ep] int32 — source node (gather index)
+    edge_dst: np.ndarray     # [Ep] int32 — destination node, non-decreasing;
+                             #   padding edges have dst == Np (trash slot)
+    node_graph: np.ndarray   # [Np] int32 — graph id; padding nodes == Bp
+    node_mask: np.ndarray    # [Np] float32 (1 = real)
+    edge_mask: np.ndarray    # [Ep] float32
+    graph_mask: np.ndarray   # [Bp] float32
+    y: np.ndarray            # [Bp, T]
+    y_mask: np.ndarray       # [Bp, T]
+    num_nodes: np.ndarray    # [] int32 — real node count
+    num_edges: np.ndarray    # [] int32
+    num_graphs: np.ndarray   # [] int32
+
+    def tree_flatten(self):
+        return (dataclasses.astuple(self), None)
+
+
+try:  # register as a JAX pytree when jax is importable
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        GraphBatch,
+        lambda b: (tuple(getattr(b, f.name) for f in dataclasses.fields(b)), None),
+        lambda aux, vals: GraphBatch(*vals),
+    )
+except Exception:  # pragma: no cover
+    pass
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_graph_batch(
+    graphs: Sequence[GraphData],
+    node_pad: Optional[int] = None,
+    edge_pad: Optional[int] = None,
+    graph_pad: Optional[int] = None,
+    node_multiple: int = 128,
+    edge_multiple: int = 128,
+    num_tasks: Optional[int] = None,
+) -> GraphBatch:
+    """Disjoint-union batch with padding to fixed shapes.
+
+    With ``node_pad``/``edge_pad``/``graph_pad`` unset, sizes are rounded up
+    to ``*_multiple`` (bucketing keeps the number of distinct compiled
+    shapes small).
+    """
+    B = len(graphs)
+    if B == 0:
+        raise ValueError("cannot batch zero graphs")
+    F = graphs[0].x.shape[1]
+    D = graphs[0].edge_attr.shape[1]
+
+    tot_nodes = sum(g.num_nodes for g in graphs)
+    tot_edges = sum(g.num_edges for g in graphs)
+    Np = node_pad if node_pad is not None else max(_round_up(tot_nodes, node_multiple), node_multiple)
+    Ep = edge_pad if edge_pad is not None else max(_round_up(tot_edges, edge_multiple), edge_multiple)
+    Bp = graph_pad if graph_pad is not None else B
+    if Np < tot_nodes or Ep < tot_edges or Bp < B:
+        raise ValueError(
+            f"padding too small: nodes {tot_nodes}>{Np} or edges {tot_edges}>{Ep} "
+            f"or graphs {B}>{Bp}")
+
+    if graphs[0].y is not None:
+        T = graphs[0].y.shape[1]
+    else:
+        T = num_tasks or 1
+
+    node_x = np.zeros((Np, F), dtype=np.float32)
+    edge_attr = np.zeros((Ep, D), dtype=np.float32)
+    edge_src = np.full((Ep,), Np, dtype=np.int32)
+    edge_dst = np.full((Ep,), Np, dtype=np.int32)
+    node_graph = np.full((Np,), Bp, dtype=np.int32)
+    y = np.zeros((Bp, T), dtype=np.float32)
+    y_mask = np.zeros((Bp, T), dtype=np.float32)
+
+    n_off = 0
+    e_off = 0
+    for gi, g in enumerate(graphs):
+        n, e = g.num_nodes, g.num_edges
+        node_x[n_off:n_off + n] = g.x
+        node_graph[n_off:n_off + n] = gi
+        if e:
+            src = g.edge_index[0].astype(np.int64)
+            dst = g.edge_index[1].astype(np.int64)
+            # stable sort by destination -> per-node contiguous segments
+            order = np.argsort(dst, kind="stable")
+            edge_src[e_off:e_off + e] = (src[order] + n_off).astype(np.int32)
+            edge_dst[e_off:e_off + e] = (dst[order] + n_off).astype(np.int32)
+            edge_attr[e_off:e_off + e] = g.edge_attr[order]
+        if g.y is not None:
+            y[gi] = g.y[0]
+            y_mask[gi] = g.y_mask[0]
+        n_off += n
+        e_off += e
+
+    node_mask = (np.arange(Np) < tot_nodes).astype(np.float32)
+    edge_mask = (np.arange(Ep) < tot_edges).astype(np.float32)
+    graph_mask = (np.arange(Bp) < B).astype(np.float32)
+
+    return GraphBatch(
+        node_x=node_x, edge_attr=edge_attr,
+        edge_src=edge_src, edge_dst=edge_dst,
+        node_graph=node_graph,
+        node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
+        y=y, y_mask=y_mask,
+        num_nodes=np.int32(tot_nodes), num_edges=np.int32(tot_edges),
+        num_graphs=np.int32(B),
+    )

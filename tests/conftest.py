@@ -1,0 +1,14 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-chip sharding tests run without TPU hardware (the TPU-world
+"multi-node without a cluster" mechanism, SURVEY.md §4)."""
+
+import os
+
+# must run before jax import
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
