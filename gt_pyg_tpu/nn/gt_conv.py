@@ -1,0 +1,163 @@
+"""GTConv — multi-head edge-featured graph-attention block.
+
+Behavioral spec: reference ``gt_pyg/nn/gt_conv.py:17-393`` (see SURVEY.md
+§3.2 for the math invariants this module must reproduce):
+
+* pre-norm residual attention + FFN blocks on nodes;
+* edge features contribute an additive per-head logit bias (from the RAW
+  per-layer edge state, gt_conv.py:367) and a value term (from the
+  norm0e-normalized state, :300-301) — the raw/normed asymmetry matters;
+* edge value is added to V_src BEFORE the sigmoid value gate (:369-376);
+* optional per-head logit gate from the raw edge state (:384-387);
+* softmax over incoming edges of each destination node, attention dropout
+  on alpha (:390-391);
+* edge state update from the pre-softmax QK product ⊙ E_val, its own
+  output projection, residual and FFN — no softmax on this path
+  (:323-341).
+
+The hot message-passing core is :func:`gt_pyg_tpu.ops.attention.
+gt_attention` (lax or fused Pallas).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import gt_attention
+from .init import xavier_uniform
+from .mlp import MLP
+from .norm import make_norm
+from .utils import validate_aggregators, validate_dropout
+
+
+class GTConv(nn.Module):
+    node_in_dim: int
+    hidden_dim: int
+    edge_in_dim: Optional[int] = None
+    num_heads: int = 8
+    gate: bool = False
+    qkv_bias: bool = False
+    dropout: float = 0.1
+    norm: str = "ln"
+    act: str = "gelu"
+    aggregators: Sequence[str] = ("sum",)
+    attn_impl: str = "lax"
+    max_in_degree: int = 16
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def _validate(self):
+        validate_dropout("dropout", self.dropout)
+        validate_aggregators("aggregators", list(self.aggregators))
+        if self.num_heads <= 0:
+            raise ValueError(f"num_heads must be positive, got {self.num_heads}")
+        if self.hidden_dim % self.num_heads != 0:
+            raise ValueError(
+                f"hidden_dim ({self.hidden_dim}) must be divisible by "
+                f"num_heads ({self.num_heads})")
+        if self.edge_in_dim is not None and self.edge_in_dim <= 0:
+            raise ValueError(
+                f"edge_in_dim must be positive or None, got {self.edge_in_dim}")
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                    # [Np, node_in_dim]
+        edge_src: jnp.ndarray,             # [Ep]
+        edge_dst: jnp.ndarray,             # [Ep] sorted
+        edge_attr: Optional[jnp.ndarray] = None,  # [Ep, edge_in_dim]
+        node_mask: Optional[jnp.ndarray] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        self._validate()
+        if self.edge_in_dim is not None and edge_attr is None:
+            raise ValueError(
+                "edge_in_dim was set, but 'edge_attr' is None in __call__(). "
+                "Pass edge features or set edge_in_dim=None.")
+
+        H, Dh = self.num_heads, self.hidden_dim // self.num_heads
+        dense = lambda feats, name, use_bias=True: nn.Dense(
+            feats, use_bias=use_bias, kernel_init=xavier_uniform(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name=name)
+        use_ra = deterministic
+
+        x_res = x
+        x_norm = self.norm_fn("norm1", self.node_in_dim)(x_res, node_mask, use_ra)
+
+        q = dense(self.hidden_dim, "WQ", self.qkv_bias)(x_norm).reshape(-1, H, Dh)
+        k = dense(self.hidden_dim, "WK", self.qkv_bias)(x_norm).reshape(-1, H, Dh)
+        v = dense(self.hidden_dim, "WV", self.qkv_bias)(x_norm).reshape(-1, H, Dh)
+
+        gate_n = None
+        if self.gate:
+            gate_n = dense(self.hidden_dim, "n_gate")(x_norm).reshape(-1, H, Dh)
+
+        e_bias = e_val = e_gate_logits = None
+        if self.edge_in_dim is not None:
+            edge_attr_norm = self.norm_fn("norm0e", self.edge_in_dim)(
+                edge_attr, edge_mask, use_ra)
+            e_val = dense(self.hidden_dim, "WE_value")(edge_attr_norm)
+            e_val = e_val.reshape(-1, H, Dh)
+            # bias/gate read the RAW per-layer edge state (gt_conv.py:367,386)
+            e_bias = dense(H, "WE_logits")(edge_attr)
+            if self.gate:
+                e_gate_logits = dense(H, "e_gate")(edge_attr)
+
+        attn_rng = None
+        if not deterministic and self.dropout > 0.0:
+            attn_rng = self.make_rng("dropout")
+
+        out, eij = gt_attention(
+            q, k, v, edge_src, edge_dst,
+            e_bias=e_bias, e_val=e_val, gate_n=gate_n,
+            e_gate_logits=e_gate_logits,
+            aggregators=tuple(self.aggregators),
+            dropout_rate=self.dropout if not deterministic else 0.0,
+            dropout_rng=attn_rng,
+            max_in_degree=self.max_in_degree,
+            impl=self.attn_impl,
+        )
+        num_aggrs = len(self.aggregators)
+        out = out.reshape(-1, self.hidden_dim * num_aggrs)
+
+        drop = lambda name: nn.Dropout(rate=self.dropout, name=name)
+
+        attn_out = dense(self.node_in_dim, "WO")(out)
+        attn_out = drop("dropout_attn_out")(attn_out, deterministic=deterministic)
+        x1 = x_res + attn_out
+
+        x1_norm = self.norm_fn("norm2", self.node_in_dim)(x1, node_mask, use_ra)
+        node_ffn_hidden = max(self.hidden_dim, 4 * self.node_in_dim)
+        ffn_out = MLP(input_dim=self.node_in_dim, output_dim=self.node_in_dim,
+                      hidden_dims=node_ffn_hidden, num_hidden_layers=2,
+                      dropout=self.dropout, act=self.act, dtype=self.dtype,
+                      name="ffn")(x1_norm, deterministic=deterministic)
+        ffn_out = drop("dropout_ffn_out")(ffn_out, deterministic=deterministic)
+        x_out = x1 + ffn_out
+
+        if self.edge_in_dim is None or edge_attr is None:
+            return x_out, edge_attr
+
+        # ---- edge update path (pre-softmax QK ⊙ E_val, gt_conv.py:323-341)
+        e_context = eij.reshape(-1, self.hidden_dim)
+        e_attn = dense(self.edge_in_dim, "WOe")(e_context)
+        e_attn = drop("dropout_e_attn")(e_attn, deterministic=deterministic)
+        e1 = edge_attr + e_attn
+        e1_norm = self.norm_fn("norm1e", self.edge_in_dim)(e1, edge_mask, use_ra)
+        edge_ffn_hidden = max(self.hidden_dim, 2 * self.edge_in_dim)
+        e_ffn = MLP(input_dim=self.edge_in_dim, output_dim=self.edge_in_dim,
+                    hidden_dims=edge_ffn_hidden, num_hidden_layers=2,
+                    dropout=self.dropout, act=self.act, dtype=self.dtype,
+                    name="ffn_e")(e1_norm, deterministic=deterministic)
+        e_ffn = drop("dropout_e_ffn")(e_ffn, deterministic=deterministic)
+        edge_out = e1 + e_ffn
+
+        return x_out, edge_out
+
+    def norm_fn(self, name: str, features: int):
+        return make_norm(self.norm, features, axis_name=self.bn_axis_name,
+                         dtype=self.dtype, name=name)

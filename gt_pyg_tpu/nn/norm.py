@@ -1,0 +1,112 @@
+"""Normalization layers for padded graph batches.
+
+The reference uses ``nn.BatchNorm1d`` / ``nn.LayerNorm`` over node/edge/
+graph rows (``gt_conv.py:116-147``, ``model.py:129-134,163-168``). On TPU
+the batch dimension contains padding rows, so BatchNorm must compute
+moments over the *mask* — and, under data parallelism, optionally reduce
+them across replicas (``axis_name``).
+
+Semantics match torch for checkpoint-import parity: momentum 0.1 (new
+stats weighted 0.1), eps 1e-5, biased variance for normalization,
+unbiased variance for the running estimate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over rows with an optional row mask and cross-replica
+    reduction. State lives in the ``batch_stats`` collection."""
+
+    num_features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = True):
+        scale = self.param("scale", nn.initializers.ones, (self.num_features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.num_features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.num_features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.num_features,), jnp.float32))
+
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                cnt = jnp.asarray(x.shape[0], jnp.float32)
+                s1 = xf.sum(axis=0)
+                s2 = (xf * xf).sum(axis=0)
+            else:
+                m = mask.astype(jnp.float32)[:, None]
+                cnt = m.sum()
+                s1 = (xf * m).sum(axis=0)
+                s2 = (xf * xf * m).sum(axis=0)
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s1 / cnt
+            var = jnp.maximum(s2 / cnt - mean * mean, 0.0)  # biased
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Per-row LayerNorm (torch-compatible: eps 1e-5, affine)."""
+
+    num_features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = True):
+        scale = self.param("scale", nn.initializers.ones, (self.num_features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.num_features,),
+                          jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = jnp.maximum((xf * xf).mean(axis=-1, keepdims=True) - mean * mean,
+                          0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+_BN_NAMES = ("bn", "batchnorm", "batch_norm")
+_LN_NAMES = ("ln", "layernorm", "layer_norm")
+
+
+def make_norm(norm: str, num_features: int, axis_name: Optional[str] = None,
+              dtype=jnp.float32, name: Optional[str] = None):
+    """Resolve a norm spec string to a module (reference vocabulary at
+    gt_conv.py:116-147)."""
+    low = norm.lower()
+    if low in _BN_NAMES:
+        return MaskedBatchNorm(num_features=num_features, axis_name=axis_name,
+                               dtype=dtype, name=name)
+    if low in _LN_NAMES:
+        return LayerNorm(num_features=num_features, dtype=dtype, name=name)
+    raise ValueError(f"Unknown norm type: {norm}")

@@ -1,0 +1,91 @@
+"""Segment-op correctness vs naive numpy references (the kernel-vs-lax
+reference test pattern from SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gt_pyg_tpu.ops import segment as S
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.integers(0, 6, size=40)).astype(np.int32)
+    x = rng.standard_normal((40, 3)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(ids), 8  # 2 empty segments
+
+
+def naive(x, ids, num_segments, fn, empty=0.0):
+    """Empty segments: PyG yields 0 for most reduce aggregations but
+    sqrt(1e-5) for std (computed from zeroed var)."""
+    x, ids = np.asarray(x), np.asarray(ids)
+    out = np.full((num_segments,) + x.shape[1:], empty, dtype=np.float64)
+    for s in range(num_segments):
+        rows = x[ids == s]
+        if len(rows):
+            out[s] = fn(rows)
+    return out
+
+
+class TestAggregators:
+    @pytest.mark.parametrize("name,ref", [
+        ("sum", lambda r: r.sum(0)),
+        ("mean", lambda r: r.mean(0)),
+        ("max", lambda r: r.max(0)),
+        ("min", lambda r: r.min(0)),
+        ("mul", lambda r: r.prod(0)),
+        ("var", lambda r: r.var(0)),
+        pytest.param("std", lambda r: np.sqrt(r.var(0) + 1e-5), id="std"),
+        ("median", lambda r: np.sort(r, axis=0)[(len(r) - 1) // 2]),
+    ])
+    def test_matches_naive(self, data, name, ref):
+        x, ids, ns = data
+        got = S.multi_aggregate(x, ids, ns, (name,), max_per_segment=40)
+        empty = np.sqrt(1e-5) if name == "std" else 0.0
+        want = naive(x, ids, ns, ref, empty=empty)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_concat_multi(self, data):
+        x, ids, ns = data
+        got = S.multi_aggregate(x, ids, ns, ("sum", "mean", "max", "std"))
+        assert got.shape == (ns, 12)
+
+    def test_softmax_aggr(self, data):
+        x, ids, ns = data
+        got = np.asarray(S.multi_aggregate(x, ids, ns, ("softmax",)))
+        xn, idn = np.asarray(x), np.asarray(ids)
+        for s in range(ns):
+            rows = xn[idn == s]
+            if len(rows) == 0:
+                continue
+            ex = np.exp(rows - rows.max(0))
+            a = ex / (ex.sum(0) + 1e-16)
+            np.testing.assert_allclose(got[s], (a * rows).sum(0), rtol=1e-4,
+                                       atol=1e-5)
+
+
+class TestSegmentSoftmax:
+    def test_sums_to_one(self, data):
+        x, ids, ns = data
+        alpha = np.asarray(S.segment_softmax(x, ids, ns))
+        idn = np.asarray(ids)
+        for s in np.unique(idn):
+            np.testing.assert_allclose(alpha[idn == s].sum(0), 1.0, rtol=1e-5)
+
+    def test_stability_large_logits(self, data):
+        _, ids, ns = data
+        big = jnp.full((40, 2), 1e4)
+        alpha = np.asarray(S.segment_softmax(big, ids, ns))
+        assert np.all(np.isfinite(alpha))
+
+    def test_trash_segment_isolated(self):
+        """Padding edges pointing at the trash segment must not affect real
+        segments."""
+        ids = jnp.asarray(np.array([0, 0, 1, 3, 3], dtype=np.int32))
+        x = jnp.asarray(np.array([[1.0], [2.0], [3.0], [99.0], [99.0]],
+                                 dtype=np.float32))
+        out = np.asarray(S.multi_aggregate(x, ids, 4, ("sum",)))
+        np.testing.assert_allclose(out[:3, 0], [3.0, 3.0, 0.0])
