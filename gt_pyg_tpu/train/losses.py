@@ -1,0 +1,205 @@
+"""Masked multi-task composite losses (jit-compiled).
+
+Behavioral spec: the reference's production recipe losses
+(``examples/train_logd.ipynb`` cell 7): scaled-RAE + Huber + Pearson +
+pairwise-Kendall + R²-style, each masked by ``y_mask ∧ isfinite(y)`` and
+averaged per task over tasks with data. Default combiner weights per
+cell 9: w=(rae 1.0, huber .25, corr .25, tau .1, r2 .1), huber δ=.5,
+τ-temperature 2.0.
+
+All functions take ``pred``/``y``/``mask`` of shape [B, T] and are
+shape-static (TPU-friendly). The Kendall loss replaces the reference's
+randperm-over-all-pairs probe with uniform pair sampling at a fixed probe
+size (8192) — statistically equivalent, jit-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+CLIP_VAL = 100.0
+
+
+def _valid_and_weights(pred, y, mask):
+    mask_f = mask.astype(pred.dtype)
+    valid = (mask_f > 0) & jnp.isfinite(y) & jnp.isfinite(pred)
+    w = jnp.where(valid, 1.0, 0.0).astype(pred.dtype)
+    return valid, w
+
+
+def _mean_over_tasks_with_data(per_task, sum_w_t):
+    task_mask = sum_w_t > 0
+    n = jnp.maximum(task_mask.sum(), 1)
+    return jnp.where(task_mask, per_task, 0.0).sum() / n, task_mask
+
+
+def masked_weighted_rae_loss(pred, y, mask, task_scale, eps=_EPS,
+                             clip_val=CLIP_VAL):
+    """Per-task mean |err| / MAD-scale, averaged over tasks with data."""
+    pred = jnp.clip(pred, -clip_val, clip_val)
+    valid, w = _valid_and_weights(pred, y, mask)
+    diff = jnp.where(valid, pred - y, 0.0)
+    abs_err = jnp.abs(diff) / (task_scale + eps)
+    sum_err_t = (abs_err * w).sum(axis=0)
+    sum_w_t = w.sum(axis=0)
+    mean_t = sum_err_t / jnp.maximum(sum_w_t, eps)
+    loss, _ = _mean_over_tasks_with_data(mean_t, sum_w_t)
+    return loss
+
+
+def masked_weighted_huber_loss(pred, y, mask, delta=1.0, task_scale=None,
+                               clip_val=CLIP_VAL, eps=_EPS):
+    pred = jnp.clip(pred, -clip_val, clip_val)
+    valid, w = _valid_and_weights(pred, y, mask)
+    diff = jnp.where(valid, pred - y, 0.0)
+    if task_scale is not None:
+        diff = diff / (task_scale + eps)
+    abs_diff = jnp.abs(diff)
+    quad = jnp.minimum(abs_diff, delta)
+    loss = 0.5 * quad ** 2 + delta * (abs_diff - quad)
+    sum_t = (loss * w).sum(axis=0)
+    sum_w_t = w.sum(axis=0)
+    mean_t = sum_t / jnp.maximum(sum_w_t, eps)
+    out, _ = _mean_over_tasks_with_data(mean_t, sum_w_t)
+    return out
+
+
+def masked_weighted_corr_loss(pred, y, mask, eps=_EPS, clip_val=CLIP_VAL):
+    """1 - weighted Pearson correlation, per task."""
+    pred = jnp.clip(pred, -clip_val, clip_val)
+    valid, w = _valid_and_weights(pred, y, mask)
+    sum_w_t = w.sum(axis=0)
+    sw = jnp.maximum(sum_w_t, eps)
+    pv = jnp.where(valid, pred, 0.0)
+    yv = jnp.where(valid, y, 0.0)
+    mean_p = (w * pv).sum(axis=0) / sw
+    mean_y = (w * yv).sum(axis=0) / sw
+    p_c = jnp.where(valid, pv - mean_p[None, :], 0.0)
+    y_c = jnp.where(valid, yv - mean_y[None, :], 0.0)
+    cov = (w * p_c * y_c).sum(axis=0)
+    var_p = (w * p_c * p_c).sum(axis=0)
+    var_y = (w * y_c * y_c).sum(axis=0)
+    corr = cov / (jnp.sqrt(var_p + eps) * jnp.sqrt(var_y + eps) + eps)
+    out, _ = _mean_over_tasks_with_data(1.0 - corr, sum_w_t)
+    return out
+
+
+def masked_weighted_kendall_rank_loss(
+    pred, y, mask, rng: Optional[jax.Array] = None,
+    num_pairs_per_task: int = 512, tau_temp: float = 1.0,
+    probe: int = 8192, clip_val=CLIP_VAL, eps=_EPS,
+):
+    """Differentiable pairwise ranking loss: softplus(-sign(Δy)·Δp/τ) over
+    the top-|Δy| sampled pairs per task (reference cell 7's
+    masked_weighted_kendall_rank_loss, with fixed-shape pair sampling)."""
+    pred = jnp.clip(pred, -clip_val, clip_val)
+    B, T = pred.shape
+    valid, w = _valid_and_weights(pred, y, mask)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    ra, rb = jax.random.split(rng)
+    a = jax.random.randint(ra, (probe,), 0, B)
+    b = jax.random.randint(rb, (probe,), 0, B)
+    pair_ok = a != b                                       # [P]
+
+    def per_task(t):
+        va = valid[a, t] & valid[b, t] & pair_ok           # [P]
+        ya, yb = y[a, t], y[b, t]
+        ydiff = jnp.where(va, jnp.abs(ya - yb), -jnp.inf)
+        k = min(num_pairs_per_task, probe)
+        top = jax.lax.top_k(ydiff, k)[1]                   # indices
+        sa, sb = a[top], b[top]
+        sel_ok = va[top]
+        y_diff = y[sa, t] - y[sb, t]
+        p_diff = pred[sa, t] - pred[sb, t]
+        s = jnp.sign(y_diff)
+        non_tie = (s != 0) & sel_ok
+        w_pair = 0.5 * (w[sa, t] + w[sb, t]) * non_tie
+        loss_pairs = jax.nn.softplus(-s * p_diff / tau_temp)
+        sw = jnp.maximum((w_pair).sum(), eps)
+        return (loss_pairs * w_pair).sum() / sw, non_tie.any()
+
+    losses, has = jax.vmap(per_task)(jnp.arange(T))
+    cnt_t = valid.sum(axis=0)
+    task_mask = (cnt_t > 1) & has
+    n = jnp.maximum(task_mask.sum(), 1)
+    return jnp.where(task_mask, losses, 0.0).sum() / n
+
+
+def masked_r2_style_loss(pred, y, mask, eps=_EPS, clip_val=CLIP_VAL):
+    """SSE / VAR per task (pushes R² toward 1)."""
+    pred = jnp.clip(pred, -clip_val, clip_val)
+    valid, _ = _valid_and_weights(pred, y, mask)
+    cnt = valid.sum(axis=0)
+    pv = jnp.where(valid, pred, 0.0)
+    yv = jnp.where(valid, y, 0.0)
+    mean_y = yv.sum(axis=0) / (cnt + eps)
+    y_c = jnp.where(valid, y - mean_y[None, :], 0.0)
+    sse = ((pv - yv) ** 2).sum(axis=0)
+    var = (y_c ** 2).sum(axis=0)
+    good = (cnt > 1) & (var > eps)
+    l_t = sse / (var + eps)
+    n = jnp.maximum(good.sum(), 1)
+    return jnp.where(good, l_t, 0.0).sum() / n
+
+
+def custom_loss(
+    pred, y, mask, *,
+    w_rae=1.0, w_huber=1.0, w_corr=0.5, w_tau=0.5, w_r2=0.1,
+    huber_delta=1.0, clip_val=CLIP_VAL, tau_temp=1.0, rank_pairs=512,
+    task_scale=None, rng=None,
+):
+    """Weighted composite (reference cell 7 ``custom_loss``). Terms with
+    zero weight are skipped at trace time."""
+    pred = jnp.clip(pred, -clip_val, clip_val)
+    total = jnp.asarray(0.0, dtype=pred.dtype)
+    if w_rae > 0 and task_scale is not None:
+        total += w_rae * masked_weighted_rae_loss(
+            pred, y, mask, task_scale=task_scale, clip_val=clip_val)
+    if w_huber > 0:
+        total += w_huber * masked_weighted_huber_loss(
+            pred, y, mask, delta=huber_delta, task_scale=task_scale,
+            clip_val=clip_val)
+    if w_corr > 0:
+        total += w_corr * masked_weighted_corr_loss(pred, y, mask,
+                                                    clip_val=clip_val)
+    if w_tau > 0:
+        total += w_tau * masked_weighted_kendall_rank_loss(
+            pred, y, mask, rng=rng, num_pairs_per_task=rank_pairs,
+            tau_temp=tau_temp, clip_val=clip_val)
+    if w_r2 > 0:
+        total += w_r2 * masked_r2_style_loss(pred, y, mask, clip_val=clip_val)
+    return total
+
+
+def mae_loss(pred, y, mask, eps=_EPS):
+    """Simple masked MAE (the demo recipe's loss,
+    OpenADMET-LogD.ipynb cell 13)."""
+    valid, w = _valid_and_weights(pred, y, mask)
+    diff = jnp.abs(jnp.where(valid, pred - y, 0.0))
+    return (diff * w).sum() / jnp.maximum(w.sum(), eps)
+
+
+def compute_task_scales(y, y_mask, eps=1e-8):
+    """Per-task MAD of the training labels (reference cell 7
+    ``compute_task_scales``); numpy, eval-side."""
+    import numpy as np
+
+    y = np.asarray(y)
+    m = np.asarray(y_mask).astype(bool)
+    T = y.shape[1]
+    scales = []
+    for t in range(T):
+        v = y[m[:, t], t]
+        v = v[np.isfinite(v)]
+        if v.size < 3:
+            scales.append(1.0)
+            continue
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        scales.append(float(max(mad, eps)))
+    return np.asarray(scales, dtype=np.float32)

@@ -1,0 +1,296 @@
+"""Training loop: jit-compiled steps, composite loss, NaN-skip, best-state
+tracking.
+
+Library form of the reference's notebook recipe (train_logd.ipynb cells
+9-12): AdamW (decoupled wd 1e-5) + warmup-cosine epoch LR, global-norm
+clip 5.0, NaN-loss batch skip, best-by-val-RAE global state plus
+per-endpoint best-by-normalized-MAE states.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.graph import GraphBatch
+from ..data.loader import iter_batches, stack_labels
+from .losses import custom_loss, mae_loss, compute_task_scales
+from .metrics import evaluate_predictions, macro_official_avg
+from .schedule import make_epoch_lr
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Production-recipe defaults (train_logd.ipynb cells 2/9/11)."""
+
+    endpoints: Sequence[str] = ("LogD",)
+    epochs: int = 2000
+    batch_train: int = 256
+    batch_eval: int = 1024
+    base_lr: float = 1e-3
+    min_lr: Optional[float] = None           # defaults to base_lr / 100
+    weight_decay: float = 1e-5
+    clip_norm: float = 5.0
+    warmup_epochs: int = 25
+    t_max: int = 500
+    # composite-loss weights (cell 9)
+    w_rae: float = 1.0
+    w_huber: float = 0.25
+    w_corr: float = 0.25
+    w_tau: float = 0.1
+    w_r2: float = 0.1
+    huber_delta: float = 0.5
+    tau_temp: float = 2.0
+    rank_pairs: int = 512
+    loss: str = "composite"                  # or "mae" (demo recipe)
+    seed: int = 1928374650
+    node_multiple: int = 1024
+    edge_multiple: int = 2048
+    eval_every: int = 1
+    log_every: int = 5
+    zero_var: bool = False                   # sample the Gaussian in training
+
+
+class TrainState(dict):
+    """Lightweight state pytree: params / batch_stats / opt_state / step."""
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class Trainer:
+    """Owns the jitted train/eval steps for a GraphTransformerNet."""
+
+    def __init__(self, model, config: TrainConfig,
+                 frozen_mask: Optional[Any] = None):
+        self.model = model
+        self.cfg = config
+        self.num_tasks = model.num_tasks
+        self.lr_fn = make_epoch_lr(config.base_lr, config.min_lr,
+                                   config.warmup_epochs, config.t_max)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.clip_norm),
+            optax.inject_hyperparams(optax.adamw)(
+                learning_rate=config.base_lr,
+                weight_decay=config.weight_decay,
+            ),
+        )
+        self.frozen_mask = frozen_mask  # pytree of bools: True == frozen
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ---- state ----
+    def init_state(self, sample_batch: GraphBatch, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        variables = self.model.init({"params": rng}, sample_batch,
+                                    deterministic=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return {"params": params, "batch_stats": batch_stats,
+                "opt_state": opt_state, "step": jnp.asarray(0, jnp.int32)}
+
+    # ---- loss ----
+    def _loss(self, pred, y, mask, task_scale, rng):
+        c = self.cfg
+        if c.loss == "mae":
+            return mae_loss(pred, y, mask)
+        return custom_loss(
+            pred, y, mask,
+            w_rae=c.w_rae, w_huber=c.w_huber, w_corr=c.w_corr,
+            w_tau=c.w_tau, w_r2=c.w_r2, huber_delta=c.huber_delta,
+            tau_temp=c.tau_temp, rank_pairs=c.rank_pairs,
+            task_scale=task_scale, rng=rng,
+        )
+
+    # ---- steps ----
+    def _train_step_impl(self, state, batch: GraphBatch, lr, task_scale,
+                         rng):
+        rng_drop, rng_rep, rng_loss = jax.random.split(rng, 3)
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state["batch_stats"]}
+            (pred, _), updates = self.model.apply(
+                variables, batch, deterministic=False,
+                zero_var=self.cfg.zero_var,
+                rngs={"dropout": rng_drop, "reparam": rng_rep},
+                mutable=["batch_stats"])
+            y, mask = batch.y, batch.y_mask
+            valid_mask = mask * jnp.isfinite(y).astype(mask.dtype)
+            loss = self._loss(pred, y, valid_mask, task_scale, rng_loss)
+            return loss, updates.get("batch_stats", state["batch_stats"])
+
+        (loss, new_bstats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+
+        if self.frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, f: jnp.where(f, 0.0, g), grads, self.frozen_mask)
+
+        opt_state = state["opt_state"]
+        # inject the epoch LR
+        opt_state[1].hyperparams["learning_rate"] = lr  # type: ignore
+        updates, new_opt = self.tx.update(grads, opt_state, state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+
+        # NaN-loss batch skip (reference cell 9): keep the old state
+        ok = jnp.isfinite(loss)
+        new_params = _tree_where(ok, new_params, state["params"])
+        new_opt = _tree_where(ok, new_opt, opt_state)
+        new_bstats = _tree_where(ok, new_bstats, state["batch_stats"])
+
+        new_state = {"params": new_params, "batch_stats": new_bstats,
+                     "opt_state": new_opt, "step": state["step"] + 1}
+        return new_state, loss, ok
+
+    def _eval_step_impl(self, params, batch_stats, batch: GraphBatch,
+                        task_scale):
+        variables = {"params": params, "batch_stats": batch_stats}
+        pred, log_var = self.model.apply(variables, batch,
+                                         deterministic=True)
+        y, mask = batch.y, batch.y_mask
+        valid = mask * jnp.isfinite(y).astype(mask.dtype)
+        loss = self._loss(pred, y, valid, task_scale,
+                          jax.random.PRNGKey(0))
+        return pred, log_var, loss
+
+    # ---- epoch drivers ----
+    def train_epoch(self, state, graphs, task_scale, epoch: int, rng):
+        c = self.cfg
+        lr = jnp.asarray(self.lr_fn(epoch - 1), jnp.float32)
+        np_rng = np.random.default_rng(c.seed + epoch)
+        total, nb, skipped = 0.0, 0, 0
+        for batch in iter_batches(graphs, c.batch_train, shuffle=True,
+                                  rng=np_rng, node_multiple=c.node_multiple,
+                                  edge_multiple=c.edge_multiple,
+                                  num_tasks=self.num_tasks):
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            rng, step_rng = jax.random.split(rng)
+            state, loss, ok = self._train_step(state, batch, lr, task_scale,
+                                               step_rng)
+            if bool(ok):
+                total += float(loss)
+                nb += 1
+            else:
+                skipped += 1
+                logger.warning("NaN loss detected, skipping batch")
+        return state, total / max(nb, 1), rng
+
+    def evaluate(self, state, graphs, task_scale):
+        c = self.cfg
+        preds, targets, masks, losses = [], [], [], []
+        for batch in iter_batches(graphs, c.batch_eval, shuffle=False,
+                                  node_multiple=c.node_multiple,
+                                  edge_multiple=c.edge_multiple,
+                                  num_tasks=self.num_tasks):
+            ng = int(batch.num_graphs)
+            jb = jax.tree_util.tree_map(jnp.asarray, batch)
+            pred, log_var, loss = self._eval_step(
+                state["params"], state["batch_stats"], jb, task_scale)
+            preds.append(np.asarray(pred)[:ng])
+            targets.append(np.asarray(jb.y)[:ng])
+            m = np.asarray(jb.y_mask)[:ng] * np.isfinite(
+                np.asarray(jb.y)[:ng]).astype(np.float32)
+            masks.append(m)
+            if np.isfinite(float(loss)):
+                losses.append(float(loss))
+        preds = np.concatenate(preds)
+        targets = np.concatenate(targets)
+        masks = np.concatenate(masks)
+        task_metrics = evaluate_predictions(targets, preds, masks,
+                                            list(c.endpoints))
+        avg_loss = float(np.mean(losses)) if losses else float("nan")
+        return avg_loss, task_metrics, preds, targets, masks
+
+    def predict(self, state, graphs):
+        """Deterministic μ predictions for (possibly unlabeled) graphs."""
+        c = self.cfg
+        task_scale = jnp.ones((self.num_tasks,), jnp.float32)
+        outs = []
+        for batch in iter_batches(graphs, c.batch_eval, shuffle=False,
+                                  node_multiple=c.node_multiple,
+                                  edge_multiple=c.edge_multiple,
+                                  num_tasks=self.num_tasks):
+            ng = int(batch.num_graphs)
+            jb = jax.tree_util.tree_map(jnp.asarray, batch)
+            pred, _, _ = self._eval_step(state["params"],
+                                         state["batch_stats"], jb,
+                                         task_scale)
+            outs.append(np.asarray(pred)[:ng])
+        return np.concatenate(outs)
+
+    # ---- full fit loop ----
+    def fit(self, state, train_graphs, val_graphs,
+            callbacks: Optional[List[Callable]] = None) -> Dict[str, Any]:
+        c = self.cfg
+        y_tr, m_tr = stack_labels(train_graphs)
+        task_scale = jnp.asarray(compute_task_scales(y_tr, m_tr))
+        train_mins = np.nanmin(np.where(m_tr > 0, y_tr, np.nan), axis=0)
+        train_maxs = np.nanmax(np.where(m_tr > 0, y_tr, np.nan), axis=0)
+
+        rng = jax.random.PRNGKey(c.seed)
+        best = {"val_rae": float("inf"), "state": None, "epoch": 0}
+        per_ep_best = {ep: {"nma": float("inf"), "state": None, "epoch": 0}
+                       for ep in c.endpoints}
+        history: List[Dict[str, Any]] = []
+
+        for epoch in range(1, c.epochs + 1):
+            t0 = time.time()
+            state, train_loss, rng = self.train_epoch(
+                state, train_graphs, task_scale, epoch, rng)
+            val_loss, val_metrics, *_ = self.evaluate(state, val_graphs,
+                                                      task_scale)
+            avg = val_metrics["Average"]
+            history.append({"epoch": epoch, "train_loss": train_loss,
+                            "val_loss": val_loss, **avg,
+                            "lr": self.lr_fn(epoch - 1),
+                            "time": time.time() - t0})
+
+            if np.isfinite(avg["RAE"]) and avg["RAE"] < best["val_rae"]:
+                best = {"val_rae": avg["RAE"],
+                        "state": jax.tree_util.tree_map(np.asarray, {
+                            "params": state["params"],
+                            "batch_stats": state["batch_stats"]}),
+                        "epoch": epoch}
+
+            for ti, ep in enumerate(c.endpoints):
+                md = val_metrics.get(ep, {})
+                mae = md.get("MAE", np.inf)
+                rng_span = train_maxs[ti] - train_mins[ti]
+                nma = (mae / rng_span if np.isfinite(mae)
+                       and np.isfinite(rng_span) and rng_span > 0
+                       else np.inf)
+                if nma < per_ep_best[ep]["nma"]:
+                    per_ep_best[ep] = {
+                        "nma": nma, "epoch": epoch,
+                        "state": jax.tree_util.tree_map(np.asarray, {
+                            "params": state["params"],
+                            "batch_stats": state["batch_stats"]})}
+
+            if epoch == 1 or epoch % c.log_every == 0 or epoch == c.epochs:
+                va = macro_official_avg(val_metrics)
+                logger.info(
+                    "[Ep %03d] LR=%.1e | loss=%.4f | Val: MAE=%.3f RAE=%.3f "
+                    "R2=%.3f rho=%.3f tau=%.3f (%.1fs)",
+                    epoch, self.lr_fn(epoch - 1), train_loss, va["MAE"],
+                    va["RAE"], va["R2"], va["Spearman R"],
+                    va["Kendall's Tau"], history[-1]["time"])
+            for cb in callbacks or []:
+                cb(epoch, state, history[-1])
+
+        return {"state": state, "best": best, "per_endpoint_best": per_ep_best,
+                "history": history,
+                "train_mins": train_mins, "train_maxs": train_maxs,
+                "task_scale": np.asarray(task_scale)}
