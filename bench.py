@@ -1,0 +1,149 @@
+"""Benchmark: edges/s/chip on batched GraphTransformerNet fwd+bwd.
+
+Runs the flagship production configuration (hidden 128 / 4 GT layers /
+8 heads / bn+gate / multi-aggregators — train_logd.ipynb cells 2 & 6) on
+one chip with a realistic molecular batch featurized from the OpenADMET
+training CSV (synthetic fallback when absent), and measures the full
+training step: forward + composite loss + backward + AdamW update.
+
+Prints ONE JSON line:
+  {"metric": "edge_layer_throughput_fwdbwd", "value": <edges*layers/s>,
+   "unit": "edge-layer/s/chip", "vs_baseline": <value / A100-PyG est.>}
+
+The reference publishes no throughput numbers (SURVEY.md §6); the
+baseline constant below is the upper band of PyG GTConv-style
+gather/scatter models on A100 (~2e7 edge-layer/s), the "5x over A100
+PyG" target's denominator in BASELINE.json.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_PYG_EDGE_LAYER_PER_S = 2.0e7
+
+BATCH_GRAPHS = 1024
+NUM_LAYERS = 4
+TIMED_STEPS = 20
+
+
+def build_batch():
+    from gt_pyg_tpu.data import get_tensor_data, pad_graph_batch
+
+    csv = ("/root/reference/examples/data/train-set/"
+           "expansion_log_data_train.csv")
+    smiles = None
+    try:
+        import pandas as pd
+
+        df = pd.read_csv(csv)
+        smiles = df["SMILES"].tolist()[:BATCH_GRAPHS]
+        y = df[["LogD"]].values.tolist()[:BATCH_GRAPHS]
+    except Exception:
+        base = ["CCO", "c1ccccc1", "CC(=O)Nc1ccc(O)cc1",
+                "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "c1ccc2ccccc2c1",
+                "CCN(CC)CC", "C1CCCCC1", "c1ccncc1"]
+        smiles = (base * (BATCH_GRAPHS // len(base) + 1))[:BATCH_GRAPHS]
+        y = [[1.0]] * len(smiles)
+
+    graphs = get_tensor_data(smiles, y, progress=False)
+    batch = pad_graph_batch(graphs, node_multiple=1024, edge_multiple=2048,
+                            graph_pad=BATCH_GRAPHS)
+    return batch
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gt_pyg_tpu.nn import GraphTransformerNet
+    from gt_pyg_tpu.train.losses import custom_loss
+
+    t_setup = time.time()
+    batch = build_batch()
+    real_edges = int(batch.num_edges)
+
+    model = GraphTransformerNet(
+        node_dim_in=140, edge_dim_in=39, hidden_dim=128,
+        num_gt_layers=NUM_LAYERS, num_heads=8, dropout=0.3, norm="bn",
+        gate=True, gt_aggregators=("sum", "mean"),
+        aggregators=("sum", "mean", "max", "std"),
+        dtype=jnp.bfloat16,
+    )
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jb,
+                           deterministic=True)
+    tx = optax.chain(optax.clip_by_global_norm(5.0),
+                     optax.adamw(1e-3, weight_decay=1e-5))
+    opt_state = tx.init(variables["params"])
+    task_scale = jnp.ones((1,), jnp.float32)
+
+    loss_fn = functools.partial(custom_loss, w_rae=1.0, w_huber=0.25,
+                                w_corr=0.25, w_tau=0.1, w_r2=0.1,
+                                huber_delta=0.5, tau_temp=2.0)
+
+    @jax.jit
+    def train_step(params, bstats, opt_state, batch, rng):
+        rd, rr, rl = jax.random.split(rng, 3)
+
+        def f(p):
+            (pred, _), upd = model.apply(
+                {"params": p, "batch_stats": bstats}, batch,
+                deterministic=False,
+                rngs={"dropout": rd, "reparam": rr},
+                mutable=["batch_stats"])
+            pred = pred.astype(jnp.float32)
+            valid = batch.y_mask * jnp.isfinite(batch.y).astype(jnp.float32)
+            return loss_fn(pred, batch.y, valid, task_scale=task_scale,
+                           rng=rl), upd["batch_stats"]
+
+        (loss, nb), grads = jax.value_and_grad(f, has_aux=True)(params)
+        updates, no = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), nb, no, loss
+
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    params, bstats, opt_state, loss = train_step(params, bstats, opt_state,
+                                                 jb, rng)
+    jax.block_until_ready(loss)
+    t_compile = time.time() - t_setup
+
+    t0 = time.time()
+    for i in range(TIMED_STEPS):
+        rng = jax.random.fold_in(rng, i)
+        params, bstats, opt_state, loss = train_step(params, bstats,
+                                                     opt_state, jb, rng)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / TIMED_STEPS
+
+    edge_layer_per_s = real_edges * NUM_LAYERS / dt
+    result = {
+        "metric": "edge_layer_throughput_fwdbwd",
+        "value": round(edge_layer_per_s, 1),
+        "unit": "edge-layer/s/chip",
+        "vs_baseline": round(edge_layer_per_s / A100_PYG_EDGE_LAYER_PER_S, 3),
+        "detail": {
+            "batch_graphs": BATCH_GRAPHS,
+            "real_edges": real_edges,
+            "real_nodes": int(batch.num_nodes),
+            "padded_nodes": int(batch.node_x.shape[0]),
+            "padded_edges": int(batch.edge_attr.shape[0]),
+            "num_gt_layers": NUM_LAYERS,
+            "step_time_ms": round(dt * 1000, 2),
+            "compile_s": round(t_compile, 1),
+            "loss": float(loss),
+            "device": str((__import__("jax")).devices()[0]),
+            "dtype": "bfloat16",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,324 @@
+"""Command-line interface: train / evaluate / predict / info.
+
+The reference ships its recipes only as notebooks (SURVEY.md §2.2); this
+CLI exposes them as library-backed commands. Defaults reproduce the
+production recipe (train_logd.ipynb): composite loss, AdamW 1e-3 with
+warmup-cosine, 2000 epochs, batch 256, bn+gate, multi-aggregators.
+
+Examples:
+    gt-tpu train --csv train.csv --endpoint LogD --epochs 200 --out runs/logd
+    gt-tpu train --csv train.csv --multitask --epochs 500 --out runs/mt9
+    gt-tpu predict --ckpt runs/logd/best.ckpt --csv test.csv --out sub.csv
+    gt-tpu evaluate --ckpt runs/logd/best.ckpt --csv test.csv --bootstrap 1000
+    gt-tpu info --ckpt runs/logd/best.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+logger = logging.getLogger("gt_pyg_tpu.cli")
+
+
+def _add_common_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--num-layers", type=int, default=4)
+    p.add_argument("--num-heads", type=int, default=8)
+    p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--head-dropout", type=float, default=None)
+    p.add_argument("--num-head-layers", type=int, default=1)
+    p.add_argument("--norm", default="bn")
+    p.add_argument("--no-gate", action="store_true")
+    p.add_argument("--gt-aggregators", default="sum,mean")
+    p.add_argument("--aggregators", default="sum,mean,max,std")
+    p.add_argument("--attn-impl", default="lax", choices=["lax", "pallas"])
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (fp32 params)")
+
+
+def _build_model(args, num_tasks: int):
+    import jax.numpy as jnp
+
+    from .nn import GraphTransformerNet
+
+    return GraphTransformerNet(
+        node_dim_in=140, edge_dim_in=39,
+        hidden_dim=args.hidden_dim, num_gt_layers=args.num_layers,
+        num_heads=args.num_heads, dropout=args.dropout,
+        head_dropout=args.head_dropout,
+        num_head_layers=args.num_head_layers,
+        norm=args.norm, gate=not args.no_gate,
+        gt_aggregators=tuple(args.gt_aggregators.split(",")),
+        aggregators=tuple(args.aggregators.split(",")),
+        num_tasks=num_tasks, attn_impl=args.attn_impl,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def _featurize(smiles, y, ids=None):
+    from .data import get_tensor_data
+
+    return get_tensor_data(smiles, y, ids=ids)
+
+
+def cmd_train(args) -> int:
+    import numpy as np
+
+    from .data.datasets import load_admet_csv, shuffle_split, LOG_ENDPOINTS
+    from .train import Trainer, TrainConfig
+    from .checkpoint import save_model_checkpoint
+
+    import pandas as pd
+
+    df = pd.read_csv(args.csv)
+    endpoints = (LOG_ENDPOINTS if args.multitask
+                 else [args.endpoint])
+    endpoints = [e for e in endpoints if e in df.columns]
+    tr_df, va_df = shuffle_split(df, seed=args.split_seed,
+                                 num_train=args.num_train,
+                                 num_val=args.num_val)
+    logger.info("Train=%d Val=%d endpoints=%s", len(tr_df), len(va_df),
+                endpoints)
+
+    tr_ds = _featurize(tr_df["SMILES"].tolist(),
+                       tr_df[endpoints].values.tolist())
+    va_ds = _featurize(va_df["SMILES"].tolist(),
+                       va_df[endpoints].values.tolist())
+
+    model = _build_model(args, num_tasks=len(endpoints))
+    cfg = TrainConfig(
+        endpoints=tuple(endpoints), epochs=args.epochs,
+        batch_train=args.batch_size, batch_eval=args.batch_eval,
+        base_lr=args.lr, weight_decay=args.weight_decay,
+        warmup_epochs=args.warmup, t_max=min(args.t_max, args.epochs),
+        loss=("mae" if args.demo_loss else "composite"),
+        seed=args.seed, log_every=args.log_every,
+    )
+    trainer = Trainer(model, cfg)
+
+    from .data.loader import iter_batches
+
+    sample = next(iter_batches(tr_ds, cfg.batch_train,
+                               node_multiple=cfg.node_multiple,
+                               edge_multiple=cfg.edge_multiple,
+                               num_tasks=len(endpoints)))
+    state = trainer.init_state(sample)
+
+    if args.init_from:
+        import jax
+
+        from .checkpoint import load_weights, load_torch_checkpoint
+        from .checkpoint.torch_import import merge_pretrained
+
+        if args.init_from.endswith(".pt"):
+            ckpt = load_torch_checkpoint(args.init_from,
+                                         filter_heads=args.reinit_heads)
+            pretrained = ckpt["model_state_dict"]
+        else:
+            pretrained, _ = load_weights(args.init_from,
+                                         filter_heads=args.reinit_heads)
+        merged = merge_pretrained(
+            {"params": state["params"],
+             "batch_stats": state["batch_stats"]}, pretrained)
+        state["params"] = merged["params"]
+        state["batch_stats"] = merged["batch_stats"]
+        logger.info("initialized from %s (heads %s)", args.init_from,
+                    "reinitialized" if args.reinit_heads else "loaded")
+
+    if args.freeze:
+        from .train.freeze import freeze_mask, frozen_status
+
+        mask = freeze_mask(state["params"], components=args.freeze.split(","),
+                           exclude=(args.freeze_exclude.split(",")
+                                    if args.freeze_exclude else None))
+        trainer.frozen_mask = mask
+        logger.info("frozen status: %s", frozen_status(mask))
+
+    result = trainer.fit(state, tr_ds, va_ds)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    best = result["best"]
+    if best["state"] is not None:
+        save_model_checkpoint(
+            model, best["state"], out / "best.ckpt",
+            epoch=best["epoch"], best_metric=best["val_rae"],
+            extra={"endpoints": list(endpoints),
+                   "train_mins": [float(x) for x in result["train_mins"]],
+                   "train_maxs": [float(x) for x in result["train_maxs"]],
+                   "task_scale": [float(x) for x in result["task_scale"]]})
+    save_model_checkpoint(
+        model, {"params": result["state"]["params"],
+                "batch_stats": result["state"]["batch_stats"]},
+        out / "last.ckpt", epoch=args.epochs,
+        extra={"endpoints": list(endpoints)})
+    with open(out / "history.json", "w") as f:
+        json.dump(result["history"], f, indent=1)
+    logger.info("best val RAE %.4f at epoch %d -> %s",
+                best["val_rae"], best["epoch"], out / "best.ckpt")
+    return 0
+
+
+def _load_for_inference(ckpt_path):
+    from .checkpoint import load_model_checkpoint
+
+    model, state, ckpt = load_model_checkpoint(ckpt_path)
+    extra = ckpt.get("extra", {})
+    return model, state, extra, ckpt
+
+
+def cmd_predict(args) -> int:
+    import numpy as np
+    import pandas as pd
+
+    from .data.datasets import build_submission
+    from .train import Trainer, TrainConfig
+
+    model, state, extra, _ = _load_for_inference(args.ckpt)
+    endpoints = extra.get("endpoints", ["LogD"])
+    test_df = pd.read_csv(args.csv)
+    graphs = _featurize(test_df["SMILES"].tolist(),
+                        [[np.nan] * len(endpoints)] * len(test_df))
+    trainer = Trainer(model, TrainConfig(endpoints=tuple(endpoints),
+                                         batch_eval=args.batch_eval))
+    preds = trainer.predict({"params": state["params"],
+                             "batch_stats": state.get("batch_stats", {})},
+                            graphs)
+    if args.raw:
+        out = test_df[["SMILES", "Molecule Name"]].copy()
+        for i, ep in enumerate(endpoints):
+            out[ep] = preds[:, i]
+    else:
+        out = build_submission(
+            test_df, preds, endpoints,
+            extra.get("train_mins", [-np.inf] * len(endpoints)),
+            extra.get("train_maxs", [np.inf] * len(endpoints)),
+            delta=args.delta)
+    out.to_csv(args.out, index=False)
+    logger.info("wrote %s (%d rows)", args.out, len(out))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import numpy as np
+    import pandas as pd
+
+    from .train import Trainer, TrainConfig
+    from .train.metrics import (bootstrap_metrics, evaluate_predictions)
+
+    model, state, extra, _ = _load_for_inference(args.ckpt)
+    endpoints = extra.get("endpoints", ["LogD"])
+    df = pd.read_csv(args.csv)
+    graphs = _featurize(df["SMILES"].tolist(),
+                        df[endpoints].values.tolist())
+    trainer = Trainer(model, TrainConfig(endpoints=tuple(endpoints),
+                                         batch_eval=args.batch_eval))
+    preds = trainer.predict({"params": state["params"],
+                             "batch_stats": state.get("batch_stats", {})},
+                            graphs)
+    y = np.array([g.y[0] for g in graphs])
+    m = np.array([g.y_mask[0] for g in graphs])
+    metrics = evaluate_predictions(y, preds, m, endpoints)
+    print(json.dumps(metrics, indent=1, default=float))
+    if args.bootstrap:
+        for i, ep in enumerate(endpoints):
+            mask = m[:, i].astype(bool)
+            bs = bootstrap_metrics(y[mask, i], preds[mask, i],
+                                   n_boot=args.bootstrap)
+            print(json.dumps({f"bootstrap:{ep}": bs}, indent=1,
+                             default=float))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .checkpoint import get_checkpoint_info
+
+    print(json.dumps(get_checkpoint_info(args.ckpt), indent=1,
+                     default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gt-tpu",
+        description="TPU-native graph transformer for molecular ADMET")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu')")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a model on an ADMET CSV")
+    t.add_argument("--csv", required=True)
+    t.add_argument("--endpoint", default="LogD")
+    t.add_argument("--multitask", action="store_true",
+                   help="train on all 9 log endpoints with y-masking")
+    t.add_argument("--epochs", type=int, default=2000)
+    t.add_argument("--batch-size", type=int, default=256)
+    t.add_argument("--batch-eval", type=int, default=1024)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--weight-decay", type=float, default=1e-5)
+    t.add_argument("--warmup", type=int, default=25)
+    t.add_argument("--t-max", type=int, default=500)
+    t.add_argument("--demo-loss", action="store_true",
+                   help="plain masked MAE (the demo recipe)")
+    t.add_argument("--seed", type=int, default=1928374650)
+    t.add_argument("--split-seed", type=int, default=42)
+    t.add_argument("--num-train", type=int, default=None)
+    t.add_argument("--num-val", type=int, default=None)
+    t.add_argument("--log-every", type=int, default=5)
+    t.add_argument("--out", required=True)
+    t.add_argument("--init-from", default=None,
+                   help=".ckpt or torch .pt backbone to initialize from")
+    t.add_argument("--reinit-heads", action="store_true",
+                   help="drop mu/log_var heads when loading --init-from")
+    t.add_argument("--freeze", default=None,
+                   help="components to freeze, e.g. 'all' or 'encoder'")
+    t.add_argument("--freeze-exclude", default=None)
+    _add_common_model_args(t)
+    t.set_defaults(fn=cmd_train)
+
+    pr = sub.add_parser("predict", help="write predictions / submission CSV")
+    pr.add_argument("--ckpt", required=True)
+    pr.add_argument("--csv", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--batch-eval", type=int, default=1024)
+    pr.add_argument("--delta", type=float, default=0.0)
+    pr.add_argument("--raw", action="store_true",
+                    help="write raw log-space predictions (no inverse "
+                         "transform)")
+    pr.set_defaults(fn=cmd_predict)
+
+    ev = sub.add_parser("evaluate", help="evaluate a checkpoint on a CSV")
+    ev.add_argument("--ckpt", required=True)
+    ev.add_argument("--csv", required=True)
+    ev.add_argument("--batch-eval", type=int, default=1024)
+    ev.add_argument("--bootstrap", type=int, default=0)
+    ev.set_defaults(fn=cmd_evaluate)
+
+    inf = sub.add_parser("info", help="show checkpoint metadata")
+    inf.add_argument("--ckpt", required=True)
+    inf.set_defaults(fn=cmd_info)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    if args.platform:
+        # must run before any jax computation; the axon sitecustomize pins
+        # JAX_PLATFORMS in the env, so set the config directly
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

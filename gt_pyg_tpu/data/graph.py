@@ -94,6 +94,7 @@ def pad_graph_batch(
     node_multiple: int = 128,
     edge_multiple: int = 128,
     num_tasks: Optional[int] = None,
+    use_native: bool = True,
 ) -> GraphBatch:
     """Disjoint-union batch with padding to fixed shapes.
 
@@ -121,6 +122,16 @@ def pad_graph_batch(
         T = graphs[0].y.shape[1]
     else:
         T = num_tasks or 1
+
+    if use_native:
+        try:
+            from ..native import pack_batch_native
+
+            fields = pack_batch_native(graphs, Np, Ep, Bp, T)
+        except Exception:
+            fields = None
+        if fields is not None:
+            return GraphBatch(**fields)
 
     node_x = np.zeros((Np, F), dtype=np.float32)
     edge_attr = np.zeros((Ep, D), dtype=np.float32)

@@ -1,0 +1,211 @@
+"""Composite-loss tests: exact parity vs an independent torch
+implementation of the notebook math (train_logd.ipynb cell 7) for the
+deterministic terms, behavioral checks for the sampled Kendall term."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gt_pyg_tpu.train.losses import (
+    masked_weighted_rae_loss,
+    masked_weighted_huber_loss,
+    masked_weighted_corr_loss,
+    masked_weighted_kendall_rank_loss,
+    masked_r2_style_loss,
+    custom_loss,
+    mae_loss,
+    compute_task_scales,
+)
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    B, T = 64, 3
+    y = rng.standard_normal((B, T)).astype(np.float32)
+    pred = (y + 0.3 * rng.standard_normal((B, T))).astype(np.float32)
+    mask = (rng.random((B, T)) > 0.2).astype(np.float32)
+    y[mask == 0] = np.nan  # some missing labels are NaN in y too
+    scale = np.array([0.5, 1.0, 2.0], np.float32)
+    return (jnp.asarray(pred), jnp.asarray(y), jnp.asarray(mask),
+            jnp.asarray(scale))
+
+
+def _torch_ref(pred, y, mask, scale):
+    """Independent torch implementation of the deterministic loss terms,
+    written from the documented math."""
+    import torch
+
+    p = torch.tensor(np.asarray(pred))
+    yt = torch.tensor(np.asarray(y))
+    m = torch.tensor(np.asarray(mask))
+    ts = torch.tensor(np.asarray(scale))
+    eps = 1e-8
+
+    valid = (m > 0) & torch.isfinite(yt) & torch.isfinite(p)
+    w = valid.float()
+    diff = torch.where(valid, p - yt, torch.zeros_like(p))
+
+    # RAE
+    abs_err = diff.abs() / (ts + eps)
+    sum_w = w.sum(0)
+    rae_t = (abs_err * w).sum(0) / sum_w.clamp_min(eps)
+    rae = rae_t[sum_w > 0].mean()
+
+    # Huber (delta=.5, scaled)
+    d = diff / (ts + eps)
+    delta = 0.5
+    ad = d.abs()
+    quad = torch.minimum(ad, torch.tensor(delta))
+    hub = 0.5 * quad ** 2 + delta * (ad - quad)
+    hub_t = (hub * w).sum(0) / sum_w.clamp_min(eps)
+    huber = hub_t[sum_w > 0].mean()
+
+    # Pearson corr loss
+    sw = sum_w.clamp_min(eps)
+    pv = torch.where(valid, p, torch.zeros_like(p))
+    yv = torch.where(valid, yt, torch.zeros_like(yt))
+    mp = (w * pv).sum(0) / sw
+    my = (w * yv).sum(0) / sw
+    pc = torch.where(valid, pv - mp, torch.zeros_like(p))
+    yc = torch.where(valid, yv - my, torch.zeros_like(p))
+    cov = (w * pc * yc).sum(0)
+    corr = cov / (torch.sqrt((w * pc * pc).sum(0) + eps)
+                  * torch.sqrt((w * yc * yc).sum(0) + eps) + eps)
+    corr_l = (1 - corr)[sum_w > 0].mean()
+
+    # R2-style
+    cnt = valid.float().sum(0)
+    mean_y = yv.sum(0) / (cnt + eps)
+    ycent = torch.where(valid, yt - mean_y, torch.zeros_like(yt))
+    sse = ((pv - yv) ** 2).sum(0)
+    var = (ycent ** 2).sum(0)
+    good = (cnt > 1) & (var > eps)
+    r2 = (sse / (var + eps))[good].mean()
+
+    return (float(rae), float(huber), float(corr_l), float(r2))
+
+
+class TestDeterministicTerms:
+    def test_rae_matches_torch(self, data):
+        pytest.importorskip("torch")
+        pred, y, mask, scale = data
+        want = _torch_ref(pred, y, mask, scale)[0]
+        got = float(masked_weighted_rae_loss(pred, y, mask, scale))
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_huber_matches_torch(self, data):
+        pytest.importorskip("torch")
+        pred, y, mask, scale = data
+        want = _torch_ref(pred, y, mask, scale)[1]
+        got = float(masked_weighted_huber_loss(pred, y, mask, delta=0.5,
+                                               task_scale=scale))
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_corr_matches_torch(self, data):
+        pytest.importorskip("torch")
+        pred, y, mask, scale = data
+        want = _torch_ref(pred, y, mask, scale)[2]
+        got = float(masked_weighted_corr_loss(pred, y, mask))
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_r2_matches_torch(self, data):
+        pytest.importorskip("torch")
+        pred, y, mask, scale = data
+        want = _torch_ref(pred, y, mask, scale)[3]
+        got = float(masked_r2_style_loss(pred, y, mask))
+        assert got == pytest.approx(want, rel=1e-4)
+
+
+class TestMaskSemantics:
+    def test_all_masked_returns_zero(self):
+        pred = jnp.ones((8, 2))
+        y = jnp.ones((8, 2))
+        mask = jnp.zeros((8, 2))
+        assert float(masked_weighted_rae_loss(pred, y, mask,
+                                              jnp.ones(2))) == 0.0
+        assert float(masked_weighted_corr_loss(pred, y, mask)) == 0.0
+        assert float(masked_r2_style_loss(pred, y, mask)) == 0.0
+
+    def test_nan_labels_ignored(self):
+        y = jnp.asarray([[1.0], [jnp.nan], [3.0], [jnp.nan]])
+        pred = jnp.asarray([[1.5], [99.0], [2.5], [99.0]])
+        mask = jnp.ones((4, 1))
+        got = float(mae_loss(pred, y, mask))
+        assert got == pytest.approx(0.5)
+
+    def test_task_without_data_excluded(self):
+        y = jnp.asarray([[1.0, jnp.nan], [2.0, jnp.nan]])
+        pred = jnp.asarray([[1.0, 5.0], [2.0, 5.0]])
+        mask = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])
+        got = float(masked_weighted_huber_loss(pred, y, mask, delta=1.0))
+        assert got == pytest.approx(0.0)
+
+
+class TestKendall:
+    def test_ordering_direction(self):
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.standard_normal((64, 1)).astype(np.float32))
+        mask = jnp.ones((64, 1))
+        good = float(masked_weighted_kendall_rank_loss(
+            y * 2.0, y, mask, rng=jax.random.PRNGKey(0)))
+        bad = float(masked_weighted_kendall_rank_loss(
+            -y, y, mask, rng=jax.random.PRNGKey(0)))
+        assert good < bad
+
+    def test_too_few_valid_is_zero(self):
+        y = jnp.asarray([[1.0], [jnp.nan]])
+        pred = jnp.asarray([[1.0], [2.0]])
+        mask = jnp.asarray([[1.0], [0.0]])
+        got = float(masked_weighted_kendall_rank_loss(
+            pred, y, mask, rng=jax.random.PRNGKey(0)))
+        assert got == 0.0
+
+    def test_jit_compatible(self):
+        f = jax.jit(lambda p, y, m, r: masked_weighted_kendall_rank_loss(
+            p, y, m, rng=r))
+        rng = np.random.default_rng(2)
+        p = jnp.asarray(rng.standard_normal((32, 2)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((32, 2)).astype(np.float32))
+        assert np.isfinite(float(f(p, y, jnp.ones((32, 2)),
+                                   jax.random.PRNGKey(0))))
+
+
+class TestComposite:
+    def test_default_weights_combine(self, data):
+        pred, y, mask, scale = data
+        total = float(custom_loss(pred, y, mask, w_rae=1.0, w_huber=0.25,
+                                  w_corr=0.25, w_tau=0.0, w_r2=0.1,
+                                  huber_delta=0.5, task_scale=scale))
+        parts = (
+            1.0 * float(masked_weighted_rae_loss(pred, y, mask, scale))
+            + 0.25 * float(masked_weighted_huber_loss(
+                pred, y, mask, delta=0.5, task_scale=scale))
+            + 0.25 * float(masked_weighted_corr_loss(pred, y, mask))
+            + 0.1 * float(masked_r2_style_loss(pred, y, mask)))
+        assert total == pytest.approx(parts, rel=1e-5)
+
+    def test_grad_finite(self, data):
+        pred, y, mask, scale = data
+
+        def f(p):
+            return custom_loss(p, y, mask, task_scale=scale,
+                               rng=jax.random.PRNGKey(0))
+
+        g = jax.grad(f)(pred)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestTaskScales:
+    def test_mad(self):
+        y = np.array([[1.0], [2.0], [3.0], [4.0], [100.0]])
+        m = np.ones((5, 1))
+        s = compute_task_scales(y, m)
+        assert s[0] == pytest.approx(1.0)  # MAD of [1,2,3,4,100] = 1
+
+    def test_few_samples_default_one(self):
+        y = np.array([[1.0], [2.0]])
+        m = np.ones((2, 1))
+        assert compute_task_scales(y, m)[0] == 1.0
