@@ -60,9 +60,9 @@ def _build_model(args, num_tasks: int):
 
 
 def _featurize(smiles, y, ids=None):
-    from .data import get_tensor_data
+    from .data.pipeline import get_tensor_data_parallel
 
-    return get_tensor_data(smiles, y, ids=ids)
+    return get_tensor_data_parallel(smiles, y, ids=ids)
 
 
 def cmd_train(args) -> int:

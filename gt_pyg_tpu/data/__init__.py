@@ -24,3 +24,9 @@ from .featurize import (  # noqa: F401
     mol_to_graph_tensors,
 )
 from .graph import GraphData, GraphBatch, pad_graph_batch  # noqa: F401
+from .loader import iter_batches, full_batch, stack_labels  # noqa: F401
+from .pipeline import (  # noqa: F401
+    get_tensor_data_parallel,
+    prefetch_batches,
+    PrefetchIterator,
+)

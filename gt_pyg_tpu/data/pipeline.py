@@ -1,0 +1,120 @@
+"""Host-side async featurization & prefetch pipeline.
+
+The reference featurizes single-threaded under tqdm
+(``gt_pyg/data/utils.py:474``). Here featurization fans out over a
+process pool (RDKit-free chemistry kernel is pure Python — real
+parallelism needs processes), and device feeding is decoupled with a
+double-buffered prefetch iterator so the TPU never waits on the host
+(SURVEY.md §7 "Host featurization throughput").
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+from concurrent.futures import ProcessPoolExecutor
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+def _featurize_chunk(args):
+    smiles, y, ids, standardize = args
+    from .featurize import get_tensor_data
+
+    return get_tensor_data(smiles, y, standardize=standardize, ids=ids,
+                           progress=False)
+
+
+def get_tensor_data_parallel(
+    x_smiles: List[str],
+    y: Optional[List] = None,
+    standardize: bool = False,
+    ids: Optional[List] = None,
+    num_workers: Optional[int] = None,
+    chunk_size: int = 256,
+    progress: bool = True,
+):
+    """Parallel ``get_tensor_data`` over a process pool.
+
+    Preserves order and the skip-on-bad-charges semantics (skips happen
+    inside each worker chunk). Falls back to the serial path for small
+    inputs or when ``num_workers <= 1``.
+    """
+    from .featurize import get_tensor_data
+
+    if num_workers is None:
+        num_workers = min(os.cpu_count() or 1, 8)
+    if num_workers <= 1 or len(x_smiles) <= chunk_size:
+        return get_tensor_data(x_smiles, y, standardize=standardize,
+                               ids=ids, progress=progress)
+
+    n = len(x_smiles)
+    y_list = y if y is not None else [None] * n
+    ids_list = ids if ids is not None else list(range(n))
+    chunks = []
+    for s in range(0, n, chunk_size):
+        e = s + chunk_size
+        chunks.append((x_smiles[s:e],
+                       y_list[s:e] if y is not None else None,
+                       ids_list[s:e], standardize))
+
+    results: List = []
+    with ProcessPoolExecutor(max_workers=num_workers) as pool:
+        it = pool.map(_featurize_chunk, chunks)
+        if progress:
+            try:
+                from tqdm.auto import tqdm
+
+                it = tqdm(it, total=len(chunks), desc="Featurizing")
+            except ImportError:
+                pass
+        for part in it:
+            results.extend(part)
+    return results
+
+
+class PrefetchIterator:
+    """Wrap a batch iterator with a background thread + bounded queue so
+    host-side packing overlaps device compute."""
+
+    _SENTINEL = object()
+
+    def __init__(self, it: Iterable, prefetch: int = 2):
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in it:
+                    self._queue.put(item)
+            except BaseException as e:  # propagate to consumer
+                self._err = e
+            finally:
+                self._queue.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch_batches(graphs: Sequence, batch_size: int, prefetch: int = 2,
+                     **iter_kwargs):
+    """Prefetching wrapper around :func:`gt_pyg_tpu.data.loader.
+    iter_batches`."""
+    from .loader import iter_batches
+
+    return PrefetchIterator(
+        iter_batches(graphs, batch_size, **iter_kwargs), prefetch=prefetch)
