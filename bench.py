@@ -60,6 +60,11 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    # persistent compilation cache: remote axon compiles are slow (minutes)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from gt_pyg_tpu.nn import GraphTransformerNet
     from gt_pyg_tpu.train.losses import custom_loss
 

@@ -106,7 +106,13 @@ def cmd_train(args) -> int:
                                node_multiple=cfg.node_multiple,
                                edge_multiple=cfg.edge_multiple,
                                num_tasks=len(endpoints)))
-    state = trainer.init_state(sample)
+    start_epoch = 1
+    if args.resume:
+        state, start_epoch = trainer.restore_state(sample, args.resume)
+        logger.info("resuming from %s at epoch %d", args.resume,
+                    start_epoch)
+    else:
+        state = trainer.init_state(sample)
 
     if args.init_from:
         import jax
@@ -138,10 +144,27 @@ def cmd_train(args) -> int:
         trainer.frozen_mask = mask
         logger.info("frozen status: %s", frozen_status(mask))
 
-    result = trainer.fit(state, tr_ds, va_ds)
-
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+
+    callbacks = []
+    if args.save_every:
+        from .checkpoint import save_checkpoint
+
+        def periodic_save(epoch, st, hist):
+            if epoch % args.save_every == 0:
+                save_checkpoint(
+                    out / "resume.ckpt",
+                    model_state={"params": st["params"],
+                                 "batch_stats": st["batch_stats"]},
+                    config=model.get_config(),
+                    optimizer_state=st["opt_state"], epoch=epoch,
+                    extra={"endpoints": list(endpoints)})
+
+        callbacks.append(periodic_save)
+
+    result = trainer.fit(state, tr_ds, va_ds, callbacks=callbacks,
+                         start_epoch=start_epoch)
     best = result["best"]
     if best["state"] is not None:
         save_model_checkpoint(
@@ -271,6 +294,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--num-val", type=int, default=None)
     t.add_argument("--log-every", type=int, default=5)
     t.add_argument("--out", required=True)
+    t.add_argument("--resume", default=None,
+                   help="resume training from a checkpoint with optimizer "
+                        "state (written by --save-every)")
+    t.add_argument("--save-every", type=int, default=0,
+                   help="write a resumable checkpoint every N epochs")
     t.add_argument("--init-from", default=None,
                    help=".ckpt or torch .pt backbone to initialize from")
     t.add_argument("--reinit-heads", action="store_true",

@@ -13,6 +13,12 @@ from .data_parallel import (  # noqa: F401
     shard_graphs,
     stack_shards,
 )
+from .distributed import (  # noqa: F401
+    initialize_distributed,
+    global_mesh,
+    local_batch_slice,
+    scaling_efficiency,
+)
 from .edge_partition import (  # noqa: F401
     edge_partition_spec,
     shard_flat_batch,

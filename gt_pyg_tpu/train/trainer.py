@@ -101,6 +101,26 @@ class Trainer:
         return {"params": params, "batch_stats": batch_stats,
                 "opt_state": opt_state, "step": jnp.asarray(0, jnp.int32)}
 
+    def restore_state(self, sample_batch: GraphBatch, ckpt_path):
+        """Resume training state (params + batch_stats + optimizer) from a
+        checkpoint saved with optimizer state. Returns (state, epoch)."""
+        from flax import serialization
+
+        from ..checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(ckpt_path)
+        state = self.init_state(sample_batch)
+        ms = ckpt["model_state_dict"]
+        state["params"] = serialization.from_state_dict(
+            state["params"], ms["params"])
+        state["batch_stats"] = serialization.from_state_dict(
+            state["batch_stats"], ms.get("batch_stats", {}))
+        if "optimizer_state_dict" in ckpt:
+            state["opt_state"] = serialization.from_state_dict(
+                state["opt_state"], ckpt["optimizer_state_dict"])
+        epoch = int(ckpt.get("epoch", 0))
+        return state, epoch + 1
+
     # ---- loss ----
     def _loss(self, pred, y, mask, task_scale, rng):
         c = self.cfg
@@ -233,7 +253,8 @@ class Trainer:
 
     # ---- full fit loop ----
     def fit(self, state, train_graphs, val_graphs,
-            callbacks: Optional[List[Callable]] = None) -> Dict[str, Any]:
+            callbacks: Optional[List[Callable]] = None,
+            start_epoch: int = 1) -> Dict[str, Any]:
         c = self.cfg
         y_tr, m_tr = stack_labels(train_graphs)
         task_scale = jnp.asarray(compute_task_scales(y_tr, m_tr))
@@ -246,7 +267,7 @@ class Trainer:
                        for ep in c.endpoints}
         history: List[Dict[str, Any]] = []
 
-        for epoch in range(1, c.epochs + 1):
+        for epoch in range(start_epoch, c.epochs + 1):
             t0 = time.time()
             state, train_loss, rng = self.train_epoch(
                 state, train_graphs, task_scale, epoch, rng)
