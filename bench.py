@@ -60,10 +60,8 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    # persistent compilation cache: remote axon compiles are slow (minutes)
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # NOTE: jax persistent compilation cache is intentionally NOT enabled
+    # here — it stalls under the axon remote-compile path.
 
     from gt_pyg_tpu.nn import GraphTransformerNet
     from gt_pyg_tpu.train.losses import custom_loss
@@ -113,19 +111,31 @@ def main():
     params, bstats = variables["params"], variables.get("batch_stats", {})
     rng = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile (value fetch forces real completion — on remote
+    # backends block_until_ready alone does not)
     params, bstats, opt_state, loss = train_step(params, bstats, opt_state,
                                                  jb, rng)
-    jax.block_until_ready(loss)
+    loss_val = float(loss)
     t_compile = time.time() - t_setup
 
-    t0 = time.time()
-    for i in range(TIMED_STEPS):
-        rng = jax.random.fold_in(rng, i)
-        params, bstats, opt_state, loss = train_step(params, bstats,
-                                                     opt_state, jb, rng)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / TIMED_STEPS
+    def run_steps(n, params, bstats, opt_state, rng):
+        t0 = time.time()
+        for i in range(n):
+            rng = jax.random.fold_in(rng, i)
+            params, bstats, opt_state, loss = train_step(
+                params, bstats, opt_state, jb, rng)
+        val = float(loss)  # forced round trip
+        return time.time() - t0, val, params, bstats, opt_state, rng
+
+    # slope timing: per-step = (t(N2) - t(N1)) / (N2 - N1), cancelling the
+    # fixed dispatch + fetch latency of the tunnel
+    n1, n2 = 5, 5 + TIMED_STEPS
+    t_a, loss_val, params, bstats, opt_state, rng = run_steps(
+        n1, params, bstats, opt_state, rng)
+    t_b, loss_val, params, bstats, opt_state, rng = run_steps(
+        n2, params, bstats, opt_state, rng)
+    dt = max(t_b - t_a, 1e-9) / (n2 - n1)
+    loss = loss_val
 
     edge_layer_per_s = real_edges * NUM_LAYERS / dt
     result = {
@@ -142,7 +152,7 @@ def main():
             "num_gt_layers": NUM_LAYERS,
             "step_time_ms": round(dt * 1000, 2),
             "compile_s": round(t_compile, 1),
-            "loss": float(loss),
+            "loss": loss,
             "device": str((__import__("jax")).devices()[0]),
             "dtype": "bfloat16",
         },

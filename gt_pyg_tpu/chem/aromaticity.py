@@ -128,8 +128,11 @@ def _pi_contribution(mol, i: int, ring: set[int]) -> int | None:
     sigma = mol.degree(i) + a.total_num_hs
     if sigma > 3:
         return None
+    # an already-aromatic in-ring bond counts as pi participation — using
+    # only the kekulé order would make perception depend on the arbitrary
+    # kekulé choice of a fused aromatic neighbor ring
     in_ring_double = any(
-        b.kekule_order == DOUBLE and b.other(i) in ring
+        (b.kekule_order == DOUBLE or b.is_aromatic) and b.other(i) in ring
         for b in mol.atom_bonds(i)
     )
     exo_double = any(

@@ -44,7 +44,8 @@ def canonical_ranks(mol: Mol) -> list[int]:
             keys = []
             for i in range(n):
                 nbr = sorted(
-                    (ranks[b.other(i)], round(b.kekule_value * 2))
+                    (ranks[b.other(i)],
+                     round((1.5 if b.is_aromatic else b.kekule_value) * 2))
                     for b in mol.atom_bonds(i)
                 )
                 keys.append((ranks[i], tuple(nbr)))
@@ -58,8 +59,10 @@ def canonical_ranks(mol: Mol) -> list[int]:
         return ranks
 
     ranks = refine(ranks)
-    # deterministic tie-breaking: promote the lowest-index atom in the
-    # first tied class, then re-refine (classic canonical scheme)
+    # greedy tie-breaking: promote the lowest-index atom in the first tied
+    # class, then re-refine. NOTE: input-order dependent when tied atoms
+    # are not automorphic — write_smiles resolves this by branching over
+    # candidates and taking the minimal string (see _canonical_string).
     while len(set(ranks)) < n:
         seen: dict[int, list[int]] = {}
         for i in range(n):
@@ -69,6 +72,53 @@ def canonical_ranks(mol: Mol) -> list[int]:
         ranks = [r * 2 for r in ranks]
         ranks[chosen] -= 1
         ranks = refine(ranks)
+    return ranks
+
+
+def _refine_fn(mol):
+    """Return the rank-refinement closure for `mol` (shared by the
+    greedy and branching canonicalization paths)."""
+    n = mol.num_atoms
+
+    def refine(ranks: list[int]) -> list[int]:
+        for _ in range(2 * n + 2):
+            keys = []
+            for i in range(n):
+                nbr = sorted(
+                    (ranks[b.other(i)],
+                     round((1.5 if b.is_aromatic else b.kekule_value) * 2))
+                    for b in mol.atom_bonds(i)
+                )
+                keys.append((ranks[i], tuple(nbr)))
+            order = sorted(range(n), key=lambda i: keys[i])
+            new = [0] * n
+            for pos, i in enumerate(order):
+                new[i] = (new[order[pos - 1]]
+                          if pos and keys[i] == keys[order[pos - 1]]
+                          else pos)
+            if new == ranks:
+                return ranks
+            ranks = new
+        return ranks
+
+    return refine
+
+
+def _initial_ranks(mol) -> list[int]:
+    n = mol.num_atoms
+    invariants = []
+    for a in mol.atoms:
+        invariants.append((
+            mol.degree(a.idx), a.atomic_num, a.formal_charge,
+            a.total_num_hs, int(a.is_aromatic),
+            int(mol.atom_in_ring(a.idx)), a.isotope,
+        ))
+    order = sorted(range(n), key=lambda i: invariants[i])
+    ranks = [0] * n
+    for pos, i in enumerate(order):
+        ranks[i] = (ranks[order[pos - 1]]
+                    if pos and invariants[i] == invariants[order[pos - 1]]
+                    else pos)
     return ranks
 
 
@@ -140,12 +190,70 @@ def _perm_parity(a: list, b: list) -> int:
 
 
 def write_smiles(mol: Mol, isomeric: bool = True, canonical: bool = True) -> str:
-    """Serialize a sanitized Mol to SMILES."""
+    """Serialize a sanitized Mol to SMILES.
+
+    Canonical mode resolves refinement ties by branching over candidate
+    promotions and returning the lexicographically smallest string (with a
+    work budget; beyond it the remaining ties resolve greedily). This
+    makes the output invariant to input atom order — the property
+    ``canonicalize_smiles`` (reference data/utils.py:146-182) relies on.
+    """
     n = mol.num_atoms
     if n == 0:
         return ""
-    ranks = canonical_ranks(mol) if canonical else list(range(n))
+    if not canonical:
+        return _emit_with_ranks(mol, list(range(n)), isomeric)
 
+    refine = _refine_fn(mol)
+    base = refine(_initial_ranks(mol))
+    budget = [4000]
+    memo: dict = {}
+
+    def tied_classes(ranks):
+        seen: dict[int, list[int]] = {}
+        for i, r in enumerate(ranks):
+            seen.setdefault(r, []).append(i)
+        return sorted((r, idxs) for r, idxs in seen.items()
+                      if len(idxs) > 1)
+
+    def promote(ranks, c):
+        nr = [x * 2 for x in ranks]
+        nr[c] -= 1
+        return refine(nr)
+
+    def resolve_greedy(ranks):
+        while True:
+            t = tied_classes(ranks)
+            if not t:
+                return _emit_with_ranks(mol, ranks, isomeric)
+            ranks = promote(ranks, min(t[0][1]))
+
+    def resolve(ranks):
+        key = tuple(ranks)
+        if key in memo:
+            return memo[key]
+        t = tied_classes(ranks)
+        if not t:
+            s = _emit_with_ranks(mol, ranks, isomeric)
+            memo[key] = s
+            return s
+        best = None
+        for c in sorted(t[0][1]):
+            if budget[0] > 0:
+                budget[0] -= 1
+                s = resolve(promote(ranks, c))
+            else:
+                s = resolve_greedy(promote(ranks, c))
+            if best is None or s < best:
+                best = s
+        memo[key] = best
+        return best
+
+    return resolve(base)
+
+
+def _emit_with_ranks(mol: Mol, ranks: list, isomeric: bool) -> str:
+    n = mol.num_atoms
     visited = [False] * n
     ring_bond_digit: dict[int, int] = {}   # bond idx -> digit
     digit_free = list(range(1, 100))

@@ -188,3 +188,29 @@ class TestRings:
         atom_rings, _ = m.ring_info()
         # SSSR size = m - n + 1 = 12 - 8 + 1 = 5
         assert len(atom_rings) == 5
+
+
+class TestCanonicalInvariance:
+    """Canonical output must be invariant to input atom order — the
+    property that required branch-resolved tie-breaking and
+    kekulé-independent ranking (fused aromatic systems)."""
+
+    @pytest.mark.parametrize("smi", [
+        "c1cc2cc3[nH]c4ccc(OCC5=NCCN5)cc4c3cc2cn1",   # fused tricyclic
+        "NC(=O)CCN1C(=O)Cc2c1ccc1ccccc21",             # isoindolinone
+        "c1cc(OCCN2CCCCC2)cc(-c2ccc3ccnnc3c2)c1",
+        "O=C1NC(=O)c2c1cccc2-c1ccc(OCCN2CCCCC2)cc1",   # phthalimide
+        "CN1C(=O)/C(=C\\c2cncn2C)c2c1ccc1ncsc21",
+    ])
+    def test_roundtrip_stable_hard_cases(self, smi):
+        m = parse_smiles(smi)
+        assign_stereochemistry(m)
+        c1 = write_smiles(m)
+        m2 = parse_smiles(c1)
+        assign_stereochemistry(m2)
+        assert write_smiles(m2) == c1
+
+    def test_phthalimide_five_ring_not_aromatic(self):
+        m = parse_smiles("O=C1NC(=O)c2ccccc21")
+        # benzo ring aromatic (6), imide ring not
+        assert sum(a.is_aromatic for a in m.atoms) == 6
