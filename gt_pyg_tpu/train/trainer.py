@@ -188,29 +188,37 @@ class Trainer:
 
     # ---- epoch drivers ----
     def train_epoch(self, state, graphs, task_scale, epoch: int, rng):
+        """One epoch. Losses stay on device until one fetch at the end —
+        per-batch host syncs are ruinous on remote/tunnelled backends."""
         c = self.cfg
         lr = jnp.asarray(self.lr_fn(epoch - 1), jnp.float32)
         np_rng = np.random.default_rng(c.seed + epoch)
-        total, nb, skipped = 0.0, 0, 0
-        for batch in iter_batches(graphs, c.batch_train, shuffle=True,
-                                  rng=np_rng, node_multiple=c.node_multiple,
-                                  edge_multiple=c.edge_multiple,
-                                  num_tasks=self.num_tasks):
+        losses = []
+        from ..data.pipeline import PrefetchIterator
+
+        it = PrefetchIterator(
+            iter_batches(graphs, c.batch_train, shuffle=True, rng=np_rng,
+                         node_multiple=c.node_multiple,
+                         edge_multiple=c.edge_multiple,
+                         num_tasks=self.num_tasks))
+        for batch in it:
             batch = jax.tree_util.tree_map(jnp.asarray, batch)
             rng, step_rng = jax.random.split(rng)
             state, loss, ok = self._train_step(state, batch, lr, task_scale,
                                                step_rng)
-            if bool(ok):
-                total += float(loss)
-                nb += 1
-            else:
-                skipped += 1
-                logger.warning("NaN loss detected, skipping batch")
-        return state, total / max(nb, 1), rng
+            losses.append(loss)
+        vals = np.asarray(jnp.stack(losses)) if losses else np.zeros(1)
+        finite = np.isfinite(vals)
+        skipped = int((~finite).sum())
+        if skipped:
+            logger.warning("NaN loss detected in %d batch(es); updates "
+                           "were skipped", skipped)
+        mean_loss = float(vals[finite].mean()) if finite.any() else float("nan")
+        return state, mean_loss, rng
 
     def evaluate(self, state, graphs, task_scale):
         c = self.cfg
-        preds, targets, masks, losses = [], [], [], []
+        preds_d, losses_d, targets, masks, counts = [], [], [], [], []
         for batch in iter_batches(graphs, c.batch_eval, shuffle=False,
                                   node_multiple=c.node_multiple,
                                   edge_multiple=c.edge_multiple,
@@ -219,16 +227,19 @@ class Trainer:
             jb = jax.tree_util.tree_map(jnp.asarray, batch)
             pred, log_var, loss = self._eval_step(
                 state["params"], state["batch_stats"], jb, task_scale)
-            preds.append(np.asarray(pred)[:ng])
-            targets.append(np.asarray(jb.y)[:ng])
-            m = np.asarray(jb.y_mask)[:ng] * np.isfinite(
-                np.asarray(jb.y)[:ng]).astype(np.float32)
-            masks.append(m)
-            if np.isfinite(float(loss)):
-                losses.append(float(loss))
-        preds = np.concatenate(preds)
+            preds_d.append(pred)
+            losses_d.append(loss)
+            counts.append(ng)
+            targets.append(np.asarray(batch.y)[:ng])
+            masks.append(np.asarray(batch.y_mask)[:ng]
+                         * np.isfinite(np.asarray(batch.y)[:ng]))
+        # single host fetch for the whole eval pass
+        preds_h = [np.asarray(p) for p in preds_d]
+        loss_vals = np.asarray(jnp.stack(losses_d))
+        losses = [float(v) for v in loss_vals[np.isfinite(loss_vals)]]
+        preds = np.concatenate([p[:ng] for p, ng in zip(preds_h, counts)])
         targets = np.concatenate(targets)
-        masks = np.concatenate(masks)
+        masks = np.concatenate(masks).astype(np.float32)
         task_metrics = evaluate_predictions(targets, preds, masks,
                                             list(c.endpoints))
         avg_loss = float(np.mean(losses)) if losses else float("nan")
