@@ -6,8 +6,9 @@ partial charges, CIP stereo labels, pharmacophore perception, and canonical
 SMILES output — the subset of RDKit functionality the reference featurizer
 depends on (``gt_pyg/data/*.py``).
 
-An optional RDKit backend is used transparently when RDKit is installed
-(see :mod:`gt_pyg_tpu.chem.backend`).
+RDKit is never required; the optional ChEMBL standardization path
+(:func:`gt_pyg_tpu.data.featurize.standardize_smiles`) uses RDKit +
+chembl_structure_pipeline only when those extras are installed.
 """
 
 from .mol import (  # noqa: F401

@@ -31,6 +31,8 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dropout", type=float, default=0.3)
     p.add_argument("--head-dropout", type=float, default=None)
     p.add_argument("--num-head-layers", type=int, default=1)
+    p.add_argument("--head-norm", action="store_true")
+    p.add_argument("--head-residual", action="store_true")
     p.add_argument("--norm", default="bn")
     p.add_argument("--no-gate", action="store_true")
     p.add_argument("--gt-aggregators", default="sum,mean")
@@ -51,6 +53,7 @@ def _build_model(args, num_tasks: int):
         num_heads=args.num_heads, dropout=args.dropout,
         head_dropout=args.head_dropout,
         num_head_layers=args.num_head_layers,
+        head_norm=args.head_norm, head_residual=args.head_residual,
         norm=args.norm, gate=not args.no_gate,
         gt_aggregators=tuple(args.gt_aggregators.split(",")),
         aggregators=tuple(args.aggregators.split(",")),
@@ -93,7 +96,8 @@ def cmd_train(args) -> int:
     cfg = TrainConfig(
         endpoints=tuple(endpoints), epochs=args.epochs,
         batch_train=args.batch_size, batch_eval=args.batch_eval,
-        base_lr=args.lr, weight_decay=args.weight_decay,
+        base_lr=args.lr, min_lr=args.min_lr,
+        weight_decay=args.weight_decay, clip_norm=args.clip_norm,
         warmup_epochs=args.warmup, t_max=min(args.t_max, args.epochs),
         loss=("mae" if args.demo_loss else "composite"),
         seed=args.seed, log_every=args.log_every,
@@ -283,7 +287,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int, default=256)
     t.add_argument("--batch-eval", type=int, default=1024)
     t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--min-lr", type=float, default=None,
+                   help="cosine floor (default lr/100; demo recipe uses 0)")
     t.add_argument("--weight-decay", type=float, default=1e-5)
+    t.add_argument("--clip-norm", type=float, default=5.0)
     t.add_argument("--warmup", type=int, default=25)
     t.add_argument("--t-max", type=int, default=500)
     t.add_argument("--demo-loss", action="store_true",

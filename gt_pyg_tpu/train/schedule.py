@@ -16,7 +16,7 @@ def warmup_cosine_factor(epoch: int, base_lr: float = 1e-3,
                          min_lr: float = 1e-5, warmup_epochs: int = 25,
                          t_max: int = 500) -> float:
     """Multiplicative LR factor for epoch (0-based, like LambdaLR)."""
-    if epoch < warmup_epochs:
+    if warmup_epochs > 0 and epoch < warmup_epochs:
         return (epoch + 1) / warmup_epochs
     progress = (epoch - warmup_epochs) / max(1, t_max - warmup_epochs)
     cosine = 0.5 * (1 + math.cos(math.pi * progress))
