@@ -113,10 +113,15 @@ def main():
 
     # warmup / compile (value fetch forces real completion — on remote
     # backends block_until_ready alone does not)
+    print(f"# setup {time.time()-t_setup:.1f}s; compiling...",
+          file=sys.stderr, flush=True)
     params, bstats, opt_state, loss = train_step(params, bstats, opt_state,
                                                  jb, rng)
+    t_c0 = time.time()
     loss_val = float(loss)
     t_compile = time.time() - t_setup
+    print(f"# compile+first {t_compile:.1f}s (first fetch "
+          f"{time.time()-t_c0:.1f}s)", file=sys.stderr, flush=True)
 
     def run_steps(n, params, bstats, opt_state, rng):
         t0 = time.time()
@@ -132,8 +137,10 @@ def main():
     n1, n2 = 5, 5 + TIMED_STEPS
     t_a, loss_val, params, bstats, opt_state, rng = run_steps(
         n1, params, bstats, opt_state, rng)
+    print(f"# {n1} steps: {t_a:.1f}s", file=sys.stderr, flush=True)
     t_b, loss_val, params, bstats, opt_state, rng = run_steps(
         n2, params, bstats, opt_state, rng)
+    print(f"# {n2} steps: {t_b:.1f}s", file=sys.stderr, flush=True)
     dt = max(t_b - t_a, 1e-9) / (n2 - n1)
     loss = loss_val
 

@@ -142,10 +142,14 @@ def cmd_train(args) -> int:
     if args.freeze:
         from .train.freeze import freeze_mask, frozen_status
 
-        mask = freeze_mask(state["params"], components=args.freeze.split(","),
-                           exclude=(args.freeze_exclude.split(",")
-                                    if args.freeze_exclude else None))
+        comps = args.freeze.split(",")
+        excl = args.freeze_exclude.split(",") if args.freeze_exclude else None
+        mask = freeze_mask(state["params"], components=comps, exclude=excl)
         trainer.frozen_mask = mask
+        if state["batch_stats"]:
+            trainer.frozen_bstats_mask = freeze_mask(
+                state["batch_stats"], components=comps, exclude=excl,
+                num_layers=args.num_layers)
         logger.info("frozen status: %s", frozen_status(mask))
 
     out = Path(args.out)

@@ -72,7 +72,8 @@ class Trainer:
     """Owns the jitted train/eval steps for a GraphTransformerNet."""
 
     def __init__(self, model, config: TrainConfig,
-                 frozen_mask: Optional[Any] = None):
+                 frozen_mask: Optional[Any] = None,
+                 frozen_bstats_mask: Optional[Any] = None):
         self.model = model
         self.cfg = config
         self.num_tasks = model.num_tasks
@@ -86,6 +87,10 @@ class Trainer:
             ),
         )
         self.frozen_mask = frozen_mask  # pytree of bools: True == frozen
+        # frozen components keep their BatchNorm running stats (the
+        # functional analog of the reference's BN-eval-on-freeze,
+        # model.py:374-385)
+        self.frozen_bstats_mask = frozen_bstats_mask
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -158,6 +163,10 @@ class Trainer:
         if self.frozen_mask is not None:
             grads = jax.tree_util.tree_map(
                 lambda g, f: jnp.where(f, 0.0, g), grads, self.frozen_mask)
+        if self.frozen_bstats_mask is not None:
+            new_bstats = jax.tree_util.tree_map(
+                lambda new, old, f: jnp.where(f, old, new),
+                new_bstats, state["batch_stats"], self.frozen_bstats_mask)
 
         opt_state = state["opt_state"]
         # inject the epoch LR
