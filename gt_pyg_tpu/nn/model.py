@@ -64,6 +64,7 @@ class GraphTransformerNet(nn.Module):
     head_dropout: Optional[float] = None
     # TPU-specific knobs (not part of the reference config surface)
     attn_impl: str = "lax"
+    max_in_degree: int = 16
     max_nodes_per_graph: int = 128
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -159,6 +160,7 @@ class GraphTransformerNet(nn.Module):
                 qkv_bias=self.qkv_bias,
                 aggregators=tuple(self.gt_aggregators),
                 attn_impl=self.attn_impl,
+                max_in_degree=self.max_in_degree,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
                 name=f"gt_layer_{li}",
