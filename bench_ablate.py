@@ -101,6 +101,9 @@ if __name__ == "__main__":
         def wrapped(st, i):
             return step(st, jax.random.PRNGKey(i))
 
+        # warm up: compile + first execution complete before timing
+        st0 = wrapped(st0, 999)
+        _ = float(jax.tree_util.tree_leaves(st0)[0].ravel()[0])
         return wrapped, st0
 
     variants = [

@@ -57,6 +57,10 @@ class GraphBatch:
     edge_dst: np.ndarray     # [Ep] int32 — destination node, non-decreasing;
                              #   padding edges have dst == Np (trash slot)
     node_graph: np.ndarray   # [Np] int32 — graph id; padding nodes == Bp
+    edge_perm_src: np.ndarray  # [Ep] int32 — permutation that reorders the
+                             #   edge arrays by SOURCE node (stable);
+                             #   backward-pass reductions over src use it
+                             #   to stay on the sorted-segment fast path
     node_mask: np.ndarray    # [Np] float32 (1 = real)
     edge_mask: np.ndarray    # [Ep] float32
     graph_mask: np.ndarray   # [Bp] float32
@@ -164,11 +168,12 @@ def pad_graph_batch(
     node_mask = (np.arange(Np) < tot_nodes).astype(np.float32)
     edge_mask = (np.arange(Ep) < tot_edges).astype(np.float32)
     graph_mask = (np.arange(Bp) < B).astype(np.float32)
+    edge_perm_src = np.argsort(edge_src, kind="stable").astype(np.int32)
 
     return GraphBatch(
         node_x=node_x, edge_attr=edge_attr,
         edge_src=edge_src, edge_dst=edge_dst,
-        node_graph=node_graph,
+        node_graph=node_graph, edge_perm_src=edge_perm_src,
         node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
         y=y, y_mask=y_mask,
         num_nodes=np.int32(tot_nodes), num_edges=np.int32(tot_edges),

@@ -128,8 +128,10 @@ def pack_batch_native(graphs: Sequence, Np: int, Ep: int, Bp: int,
     if rc != 0:
         raise ValueError(f"pack_batch_native failed with code {rc}")
 
+    edge_perm_src = np.argsort(edge_src, kind="stable").astype(np.int32)
     return dict(node_x=node_x, edge_attr=edge_attr, edge_src=edge_src,
                 edge_dst=edge_dst, node_graph=node_graph,
+                edge_perm_src=edge_perm_src,
                 node_mask=node_mask, edge_mask=edge_mask,
                 graph_mask=graph_mask, y=y_out, y_mask=ym_out,
                 num_nodes=np.int32(int(n_nodes.sum())),

@@ -115,6 +115,7 @@ def _graphbatch_structure():
     zi = np.int32(0)
     return GraphBatch(
         node_x=z, edge_attr=z, edge_src=z, edge_dst=z, node_graph=z,
+        edge_perm_src=z,
         node_mask=z, edge_mask=z, graph_mask=z, y=z, y_mask=z,
         num_nodes=zi, num_edges=zi, num_graphs=zi)
 

@@ -32,6 +32,7 @@ def edge_partition_spec(axis: str = "data") -> GraphBatch:
         edge_src=P(axis),
         edge_dst=P(axis),
         node_graph=P(axis),
+        edge_perm_src=P(axis),
         node_mask=P(axis),
         edge_mask=P(axis),
         graph_mask=P(),
