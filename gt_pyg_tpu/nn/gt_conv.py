@@ -71,6 +71,7 @@ class GTConv(nn.Module):
         edge_attr: Optional[jnp.ndarray] = None,  # [Ep, edge_in_dim]
         node_mask: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
+        edge_perm_src: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         self._validate()
@@ -120,6 +121,7 @@ class GTConv(nn.Module):
             dropout_rng=attn_rng,
             max_in_degree=self.max_in_degree,
             impl=self.attn_impl,
+            edge_perm_src=edge_perm_src,
         )
         num_aggrs = len(self.aggregators)
         out = out.reshape(-1, self.hidden_dim * num_aggrs)

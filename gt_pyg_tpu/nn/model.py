@@ -166,6 +166,7 @@ class GraphTransformerNet(nn.Module):
                 name=f"gt_layer_{li}",
             )(h, batch.edge_src, batch.edge_dst, e,
               node_mask=node_mask, edge_mask=edge_mask,
+              edge_perm_src=getattr(batch, "edge_perm_src", None),
               deterministic=deterministic)
             h = h * node_mask[:, None]
             if e is not None:

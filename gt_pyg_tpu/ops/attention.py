@@ -45,6 +45,7 @@ def gt_attention(
     dropout_rng: Optional[jax.Array] = None,
     max_in_degree: int = 16,
     impl: str = "lax",
+    edge_perm_src: Optional[jnp.ndarray] = None,  # [Ep] src-sort perm
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Returns (node_out [Np, H, Dh*A], eij [Ep, H, Dh] or None).
 
@@ -58,17 +59,22 @@ def gt_attention(
         return gt_attention_pallas(
             q, k, v, edge_src, edge_dst, e_bias, e_val, gate_n,
             e_gate_logits, aggregators, dropout_rate, dropout_rng,
+            max_in_degree=max_in_degree, edge_perm_src=edge_perm_src,
         )
     return _gt_attention_lax(
         q, k, v, edge_src, edge_dst, e_bias, e_val, gate_n, e_gate_logits,
         aggregators, dropout_rate, dropout_rng, max_in_degree,
+        edge_perm_src,
     )
 
 
 def _gt_attention_lax(
     q, k, v, edge_src, edge_dst, e_bias, e_val, gate_n, e_gate_logits,
     aggregators, dropout_rate, dropout_rng, max_in_degree,
+    edge_perm_src=None,
 ):
+    from .gather import gather_by_dst, gather_by_src
+
     npad, num_heads, dh = q.shape
     scale = 1.0 / math.sqrt(dh)
 
@@ -79,9 +85,9 @@ def _gt_attention_lax(
     kp = jnp.concatenate([k, zrow], axis=0)
     vp = jnp.concatenate([v, zrow], axis=0)
 
-    q_i = qp[edge_dst]                       # [Ep, H, Dh]
-    k_j = kp[edge_src]
-    v_j = vp[edge_src]
+    q_i = gather_by_dst(qp, edge_dst)        # [Ep, H, Dh]
+    k_j = gather_by_src(kp, edge_src, edge_perm_src)
+    v_j = gather_by_src(vp, edge_src, edge_perm_src)
 
     logits_vec = q_i * k_j * scale           # [Ep, H, Dh]
     logits = logits_vec.sum(axis=-1)         # [Ep, H]
@@ -94,7 +100,8 @@ def _gt_attention_lax(
         logits = logits + e_bias
     if gate_n is not None:
         gp = jnp.concatenate([gate_n, zrow], axis=0)
-        v_j = v_j * jax.nn.sigmoid(gp[edge_src])
+        v_j = v_j * jax.nn.sigmoid(
+            gather_by_src(gp, edge_src, edge_perm_src))
     if e_gate_logits is not None:
         logits = logits * jax.nn.sigmoid(e_gate_logits)
 

@@ -294,7 +294,7 @@ _attention_core.defvjp(_core_fwd, _core_bwd)
 def gt_attention_pallas(
     q, k, v, edge_src, edge_dst, e_bias, e_val, gate_n, e_gate_logits,
     aggregators: Sequence[str], dropout_rate: float,
-    dropout_rng, max_in_degree: int = 16,
+    dropout_rng, max_in_degree: int = 16, edge_perm_src=None,
 ):
     """Pallas-backed gt_attention (same contract as the lax path).
 
@@ -308,7 +308,9 @@ def gt_attention_pallas(
 
         return _gt_attention_lax(q, k, v, edge_src, edge_dst, e_bias, e_val,
                                  gate_n, e_gate_logits, aggs, dropout_rate,
-                                 dropout_rng, max_in_degree)
+                                 dropout_rng, max_in_degree, edge_perm_src)
+
+    from ..gather import gather_by_dst, gather_by_src
 
     npad, heads, dh = q.shape
     scale = 1.0 / math.sqrt(dh)
@@ -317,9 +319,9 @@ def gt_attention_pallas(
     kp = jnp.concatenate([k, zrow], axis=0)
     vp = jnp.concatenate([v, zrow], axis=0)
 
-    q_i = qp[edge_dst]
-    k_j = kp[edge_src]
-    v_j = vp[edge_src]
+    q_i = gather_by_dst(qp, edge_dst)
+    k_j = gather_by_src(kp, edge_src, edge_perm_src)
+    v_j = gather_by_src(vp, edge_src, edge_perm_src)
 
     logits_vec = q_i * k_j * scale
     logits = logits_vec.sum(axis=-1)
@@ -331,7 +333,8 @@ def gt_attention_pallas(
         logits = logits + e_bias
     if gate_n is not None:
         gp = jnp.concatenate([gate_n, zrow], axis=0)
-        v_j = v_j * jax.nn.sigmoid(gp[edge_src])
+        v_j = v_j * jax.nn.sigmoid(
+            gather_by_src(gp, edge_src, edge_perm_src))
     if e_gate_logits is not None:
         logits = logits * jax.nn.sigmoid(e_gate_logits)
 

@@ -89,3 +89,29 @@ class TestSegmentSoftmax:
                                  dtype=np.float32))
         out = np.asarray(S.multi_aggregate(x, ids, 4, ("sum",)))
         np.testing.assert_allclose(out[:3, 0], [3.0, 3.0, 0.0])
+
+
+class TestSortedGather:
+    def test_gather_grads_match_plain(self):
+        import jax
+
+        from gt_pyg_tpu.ops.gather import gather_by_dst, gather_by_src
+
+        rng = np.random.default_rng(0)
+        n, e = 33, 70
+        x = jnp.asarray(rng.standard_normal((n + 1, 4)).astype(np.float32))
+        dst = jnp.asarray(np.sort(rng.integers(0, n, size=e)).astype(np.int32))
+        src = jnp.asarray(rng.integers(0, n, size=e).astype(np.int32))
+        perm = jnp.asarray(np.argsort(np.asarray(src),
+                                      kind="stable").astype(np.int32))
+
+        def f_sorted(x):
+            return jnp.sum(gather_by_dst(x, dst) ** 2) + \
+                jnp.sum(gather_by_src(x, src, perm) ** 3)
+
+        def f_plain(x):
+            return jnp.sum(x[dst] ** 2) + jnp.sum(x[src] ** 3)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_sorted)(x)),
+            np.asarray(jax.grad(f_plain)(x)), rtol=1e-5, atol=1e-5)
