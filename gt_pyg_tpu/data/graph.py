@@ -90,6 +90,37 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def batch_degree_stats(batch: GraphBatch) -> dict:
+    """Host-side segment-size stats: max in-degree / out-degree / nodes
+    per graph. The ELL segment-op fast path (ops/segment.py) silently
+    truncates segments beyond its static bound — validate against the
+    model's ``max_in_degree`` / ``max_nodes_per_graph`` before training."""
+    ne = int(batch.num_edges)
+    nn = int(batch.num_nodes)
+    dst = np.asarray(batch.edge_dst)[:ne]
+    src = np.asarray(batch.edge_src)[:ne]
+    gid = np.asarray(batch.node_graph)[:nn]
+    return {
+        "max_in_degree": int(np.bincount(dst).max()) if ne else 0,
+        "max_out_degree": int(np.bincount(src).max()) if ne else 0,
+        "max_nodes_per_graph": int(np.bincount(gid).max()) if nn else 0,
+    }
+
+
+def check_batch_limits(batch: GraphBatch, max_in_degree: int,
+                       max_nodes_per_graph: int) -> None:
+    """Raise when the batch violates the model's static segment bounds."""
+    stats = batch_degree_stats(batch)
+    if stats["max_in_degree"] > max_in_degree:
+        raise ValueError(
+            f"batch max in-degree {stats['max_in_degree']} exceeds the "
+            f"model's max_in_degree={max_in_degree}; raise the limit")
+    if stats["max_nodes_per_graph"] > max_nodes_per_graph:
+        raise ValueError(
+            f"batch max nodes/graph {stats['max_nodes_per_graph']} exceeds "
+            f"max_nodes_per_graph={max_nodes_per_graph}; raise the limit")
+
+
 def pad_graph_batch(
     graphs: Sequence[GraphData],
     node_pad: Optional[int] = None,

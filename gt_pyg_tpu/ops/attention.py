@@ -105,7 +105,8 @@ def _gt_attention_lax(
     if e_gate_logits is not None:
         logits = logits * jax.nn.sigmoid(e_gate_logits)
 
-    alpha = segment_softmax(logits, edge_dst, npad + 1)   # [Ep, H]
+    alpha = segment_softmax(logits, edge_dst, npad + 1,
+                            max_per_segment=max_in_degree)   # [Ep, H]
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     alpha.shape)

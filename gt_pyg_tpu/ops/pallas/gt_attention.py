@@ -250,23 +250,24 @@ def _core_fwd(logits, vmsg, edge_dst, npad, max_in_degree, keep_arr, aggs):
 
 
 def _core_bwd(npad, max_in_degree, keep_arr, aggs, residuals, g_out):
-    from ..segment import segment_softmax, segment_sum
+    from ..segment import segment_softmax, segment_sum_ell
 
     logits, vmsg, edge_dst = residuals
     ep, heads = logits.shape
     dh = vmsg.shape[-1]
     ids = edge_dst
     ns = npad + 1
+    k = max_in_degree
 
-    alpha = segment_softmax(logits, ids, ns)               # [Ep, H]
+    alpha = segment_softmax(logits, ids, ns, max_per_segment=k)  # [Ep, H]
     keep = (keep_arr if keep_arr is not None
             else jnp.ones((ep, heads), jnp.float32))
 
     # fold the per-aggregator cotangents into one upstream gradient on
     # o_n = sum_e alpha*keep*V: 'sum' passes through, 'mean' divides by
     # the (logit-independent) in-degree
-    degree = segment_sum(jnp.ones((ep, heads), jnp.float32)
-                         * (ids < npad)[:, None], ids, ns)  # [Np+1, H]
+    degree = segment_sum_ell(jnp.ones((ep, heads), jnp.float32)
+                             * (ids < npad)[:, None], ids, ns, k)
     deg = jnp.maximum(degree[:npad], 1.0)[:, :, None]       # [Np, H, 1]
     g_eff = jnp.zeros((npad, heads, dh), jnp.float32)
     off = 0
@@ -283,7 +284,7 @@ def _core_bwd(npad, max_in_degree, keep_arr, aggs, residuals, g_out):
 
     g_vmsg = (alpha * keep)[:, :, None] * g_e
     s = (g_e * vmsg).sum(-1) * keep                        # [Ep, H]
-    weighted = segment_sum(alpha * s, ids, ns)             # [Np+1, H]
+    weighted = segment_sum_ell(alpha * s, ids, ns, k)      # [Np+1, H]
     g_logits = alpha * (s - weighted[ids])
     return g_logits, g_vmsg, jnp.zeros_like(edge_dst)
 

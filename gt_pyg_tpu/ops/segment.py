@@ -76,13 +76,25 @@ def segment_std(x, ids, num_segments, sorted_ids=True, eps=1e-5):
                     + eps)
 
 
-def segment_softmax(logits, ids, num_segments, sorted_ids=True):
+def segment_softmax(logits, ids, num_segments, sorted_ids=True,
+                    max_per_segment=None):
     """Numerically-stable softmax within segments.
 
     Matches ``torch_geometric.utils.softmax``: subtract per-segment max,
-    exponentiate, normalize with a 1e-16 epsilon. Empty segments never get
-    gathered, so the -inf max of an empty segment is harmless.
+    exponentiate, normalize with a 1e-16 epsilon. With
+    ``max_per_segment`` set (sorted ids), the reductions use the
+    scatter-free ELL-window path; the max is stop-gradiented (its
+    contribution cancels analytically).
     """
+    from .gather import gather_by_dst
+
+    if max_per_segment is not None and sorted_ids:
+        maxes = segment_max_ell(logits, ids, num_segments, max_per_segment)
+        maxes = jax.lax.stop_gradient(
+            jnp.where(jnp.isfinite(maxes), maxes, 0.0))
+        unnorm = jnp.exp(logits - gather_by_dst(maxes, ids))
+        denom = segment_sum_ell(unnorm, ids, num_segments, max_per_segment)
+        return unnorm / (gather_by_dst(denom, ids) + _SOFTMAX_EPS)
     maxes = _seg(jax.ops.segment_max, logits, ids, num_segments, sorted_ids)
     maxes = jnp.where(jnp.isfinite(maxes), maxes, 0.0)
     unnorm = jnp.exp(logits - maxes[ids])
@@ -103,6 +115,98 @@ def _segment_powermean(x, ids, num_segments, sorted_ids=True, p=1.0):
     xp = jnp.sign(x) * jnp.abs(x) ** p
     m = segment_mean(xp, ids, num_segments, sorted_ids)
     return jnp.sign(m) * jnp.abs(m) ** (1.0 / p)
+
+
+# ---------------------------------------------------------------------------
+# ELL-window segment ops (sorted ids, bounded segment size)
+#
+# TPU scatters serialize; for sorted segment ids with a static size bound
+# K, every reduction can instead be a dense [S, K] gather + masked reduce
+# (XLA fuses the gather into the reduction), and — crucially — the
+# BACKWARD of a segment reduction is a plain gather by segment id, so the
+# whole fwd+bwd pipeline is scatter-free. K comes from the data contract
+# (molecular in-degree <= ~6; nodes/graph <= max_nodes_per_graph).
+# ---------------------------------------------------------------------------
+
+
+def _rowptr(ids, num_segments):
+    """ptr [S+1]: segment s covers rows [ptr[s], ptr[s+1])."""
+    return jnp.searchsorted(
+        ids, jnp.arange(num_segments + 1, dtype=ids.dtype), side="left")
+
+
+def _ell_window(ids, num_segments, k):
+    """([S, K] row indices into x (== len(ids) for empty slots), mask)."""
+    n = ids.shape[0]
+    ptr = _rowptr(ids, num_segments)
+    base = ptr[:-1]
+    idx = base[:, None] + jnp.arange(k, dtype=ids.dtype)[None, :]
+    valid = idx < ptr[1:, None]
+    return jnp.where(valid, idx, n), valid
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_sum_ell(x, ids, num_segments, k):
+    """Sorted-segment sum via an ELL window; bwd is a gather by id."""
+    idx, valid = _ell_window(ids, num_segments, k)
+    pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    xp = jnp.concatenate([x, pad], axis=0)
+    g = xp[idx]                                   # [S, K, ...]
+    vshape = valid.shape + (1,) * (x.ndim - 1)
+    return jnp.where(valid.reshape(vshape), g, 0).sum(axis=1)
+
+
+def _sum_ell_fwd(x, ids, num_segments, k):
+    return segment_sum_ell(x, ids, num_segments, k), ids
+
+
+def _sum_ell_bwd(num_segments, k, ids, g):
+    gp = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)],
+                         axis=0)
+    safe = jnp.minimum(ids, num_segments)
+    return gp[safe], None
+
+
+segment_sum_ell.defvjp(_sum_ell_fwd, _sum_ell_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_max_ell(x, ids, num_segments, k):
+    """Sorted-segment max (empty segments -> -inf); bwd routes the
+    cotangent to the (first) argmax row via gathers + equality."""
+    idx, valid = _ell_window(ids, num_segments, k)
+    pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    xp = jnp.concatenate([x, pad], axis=0)
+    g = xp[idx]
+    vshape = valid.shape + (1,) * (x.ndim - 1)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    return jnp.where(valid.reshape(vshape), g, neg).max(axis=1)
+
+
+def _max_ell_fwd(x, ids, num_segments, k):
+    out = segment_max_ell(x, ids, num_segments, k)
+    return out, (x, ids, out)
+
+
+def _max_ell_bwd(num_segments, k, res, g):
+    x, ids, out = res
+    outp = jnp.concatenate([out, jnp.zeros((1,) + out.shape[1:],
+                                           out.dtype)], axis=0)
+    gp = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)],
+                         axis=0)
+    safe = jnp.minimum(ids, num_segments)
+    is_max = (x == outp[safe])
+    # split the cotangent across ties (sum-of-subgradients convention
+    # differs from XLA's first-hit, but is a valid subgradient and exact
+    # when maxima are unique)
+    ties = segment_sum_ell(is_max.astype(x.dtype), ids, num_segments, k)
+    tiesp = jnp.concatenate([ties, jnp.ones((1,) + ties.shape[1:],
+                                            ties.dtype)], axis=0)
+    dx = jnp.where(is_max, gp[safe] / jnp.maximum(tiesp[safe], 1.0), 0.0)
+    return dx, None
+
+
+segment_max_ell.defvjp(_max_ell_fwd, _max_ell_bwd)
 
 
 def build_ell_index(ids, num_segments, max_per_segment):
@@ -159,17 +263,40 @@ def multi_aggregate(
 
     ``x``: [E, ...] messages (or [N, ...] node states for pooling).
     Returns [num_segments, ... * len(aggregators)].
+
+    With ``max_per_segment`` set (and sorted ids), sum/mean/max/min/var/
+    std ride the scatter-free ELL-window path.
     """
+    ell = (max_per_segment if (max_per_segment is not None and sorted_ids)
+           else None)
+
+    def _counts():
+        cnt = jnp.diff(_rowptr(ids, num_segments)).astype(x.dtype)
+        return cnt.reshape((-1,) + (1,) * (x.ndim - 1))
+
     outs = []
     for aggr in aggregators:
         if aggr in ("sum", "add"):
-            outs.append(segment_sum(x, ids, num_segments, sorted_ids))
+            outs.append(segment_sum_ell(x, ids, num_segments, ell) if ell
+                        else segment_sum(x, ids, num_segments, sorted_ids))
         elif aggr == "mean":
-            outs.append(segment_mean(x, ids, num_segments, sorted_ids))
+            if ell:
+                outs.append(segment_sum_ell(x, ids, num_segments, ell)
+                            / jnp.maximum(_counts(), 1.0))
+            else:
+                outs.append(segment_mean(x, ids, num_segments, sorted_ids))
         elif aggr == "max":
-            outs.append(segment_max(x, ids, num_segments, sorted_ids))
+            if ell:
+                m = segment_max_ell(x, ids, num_segments, ell)
+                outs.append(jnp.where(jnp.isfinite(m), m, 0.0))
+            else:
+                outs.append(segment_max(x, ids, num_segments, sorted_ids))
         elif aggr == "min":
-            outs.append(segment_min(x, ids, num_segments, sorted_ids))
+            if ell:
+                m = -segment_max_ell(-x, ids, num_segments, ell)
+                outs.append(jnp.where(jnp.isfinite(m), m, 0.0))
+            else:
+                outs.append(segment_min(x, ids, num_segments, sorted_ids))
         elif aggr == "mul":
             prod = segment_prod(x, ids, num_segments, sorted_ids)
             cnt = segment_sum(jnp.ones((x.shape[0],) + (1,) * (x.ndim - 1),
@@ -177,9 +304,21 @@ def multi_aggregate(
                               ids, num_segments, sorted_ids)
             outs.append(jnp.where(cnt > 0, prod, 0.0))
         elif aggr == "var":
-            outs.append(segment_var(x, ids, num_segments, sorted_ids))
+            if ell:
+                cnt = jnp.maximum(_counts(), 1.0)
+                m1 = segment_sum_ell(x, ids, num_segments, ell) / cnt
+                m2 = segment_sum_ell(x * x, ids, num_segments, ell) / cnt
+                outs.append(m2 - m1 * m1)
+            else:
+                outs.append(segment_var(x, ids, num_segments, sorted_ids))
         elif aggr == "std":
-            outs.append(segment_std(x, ids, num_segments, sorted_ids))
+            if ell:
+                cnt = jnp.maximum(_counts(), 1.0)
+                m1 = segment_sum_ell(x, ids, num_segments, ell) / cnt
+                m2 = segment_sum_ell(x * x, ids, num_segments, ell) / cnt
+                outs.append(jnp.sqrt(jax.nn.relu(m2 - m1 * m1) + 1e-5))
+            else:
+                outs.append(segment_std(x, ids, num_segments, sorted_ids))
         elif aggr == "softmax":
             outs.append(_segment_softmax_weighted(x, ids, num_segments,
                                                   sorted_ids))

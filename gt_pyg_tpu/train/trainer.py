@@ -97,6 +97,15 @@ class Trainer:
 
     # ---- state ----
     def init_state(self, sample_batch: GraphBatch, rng=None):
+        from ..data.graph import check_batch_limits
+
+        try:
+            check_batch_limits(sample_batch,
+                               getattr(self.model, "max_in_degree", 16),
+                               getattr(self.model, "max_nodes_per_graph",
+                                       128))
+        except TypeError:
+            pass  # already-traced batch; caller validated host-side
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         variables = self.model.init({"params": rng}, sample_batch,
                                     deterministic=True)
