@@ -108,13 +108,11 @@ if __name__ == "__main__":
 
     variants = [
         ("full_lax", dict(), "composite", False),
-        ("full_pallas", dict(attn_impl="pallas", max_in_degree=6),
+        ("full_pallas", dict(attn_impl="pallas", max_in_degree=8),
          "composite", False),
-        ("mae_loss", dict(), "mae", False),
-        ("fwd_only", dict(), "composite", True),
-        ("sum_aggr_ln_nogate",
-         dict(gt_aggregators=("sum",), aggregators=("sum",), norm="ln",
-              gate=False), "composite", False),
+        ("fwd_only_lax", dict(), "composite", True),
+        ("fwd_only_pallas", dict(attn_impl="pallas", max_in_degree=8),
+         "composite", True),
     ]
     for name, mkw, lk, fo in variants:
         t0 = time.time()

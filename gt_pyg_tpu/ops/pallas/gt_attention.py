@@ -38,7 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # tile sizes: NT dst-nodes per tile, TE edges per chunk
 NT = 128
-TE = 512
+TE = 256
+# scoped-VMEM budget for the kernel (v5e has 128MB VMEM; the default
+# 16MB stack limit is too tight for the [NT, TE] working set)
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 _NEG_INF = -1e30
 _SOFTMAX_EPS = 1e-16
@@ -212,6 +215,8 @@ def fused_segment_attention(
             jax.ShapeDtypeStruct((npad_r, heads), jnp.float32),
             jax.ShapeDtypeStruct((npad_r, heads), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(tile_block_start, logits_p, vmsg_p, keep_p, dst_p)
 
     out_sum = out_sum[:npad].reshape(npad, heads, dh)
