@@ -235,44 +235,42 @@ def _normalize(out_sum, denom, degree, aggs):
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _attention_core(logits, vmsg, edge_dst, npad, max_in_degree, keep_arr,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_core(logits, vmsg, keep_arr, edge_dst, npad, max_in_degree,
                     aggs):
     """Normalized attention output [Np, H, Dh*A] with custom VJP (forward
     = fused Pallas kernel; backward = lax segment ops on recomputed
-    alpha). ``keep_arr`` is None or a concrete keep/(1-rate) array
-    (nondiff — its randomness is fixed for the step)."""
+    alpha). ``keep_arr`` is the dropout keep/(1-rate) array (all-ones
+    when dropout is off); its cotangent is zero (the mask is fixed for
+    the step)."""
     out_sum, denom, degree = fused_segment_attention(
         logits, vmsg, edge_dst, npad, keep=keep_arr,
         max_in_degree=max_in_degree)
     return _normalize(out_sum, denom, degree, aggs)
 
 
-def _core_fwd(logits, vmsg, edge_dst, npad, max_in_degree, keep_arr, aggs):
-    out = _attention_core(logits, vmsg, edge_dst, npad, max_in_degree,
-                          keep_arr, aggs)
-    return out, (logits, vmsg, edge_dst)
+def _core_fwd(logits, vmsg, keep_arr, edge_dst, npad, max_in_degree, aggs):
+    out = _attention_core(logits, vmsg, keep_arr, edge_dst, npad,
+                          max_in_degree, aggs)
+    return out, (logits, vmsg, keep_arr, edge_dst)
 
 
-def _core_bwd(npad, max_in_degree, keep_arr, aggs, residuals, g_out):
-    from ..segment import segment_softmax, segment_sum_ell
+def _core_bwd(npad, max_in_degree, aggs, residuals, g_out):
+    from ..segment import segment_softmax, segment_sum
 
-    logits, vmsg, edge_dst = residuals
+    logits, vmsg, keep, edge_dst = residuals
     ep, heads = logits.shape
     dh = vmsg.shape[-1]
     ids = edge_dst
     ns = npad + 1
-    k = max_in_degree
 
-    alpha = segment_softmax(logits, ids, ns, max_per_segment=k)  # [Ep, H]
-    keep = (keep_arr if keep_arr is not None
-            else jnp.ones((ep, heads), jnp.float32))
+    alpha = segment_softmax(logits, ids, ns)               # [Ep, H]
 
     # fold the per-aggregator cotangents into one upstream gradient on
     # o_n = sum_e alpha*keep*V: 'sum' passes through, 'mean' divides by
     # the (logit-independent) in-degree
-    degree = segment_sum_ell(jnp.ones((ep, heads), jnp.float32)
-                             * (ids < npad)[:, None], ids, ns, k)
+    degree = segment_sum(jnp.ones((ep, heads), jnp.float32)
+                         * (ids < npad)[:, None], ids, ns)
     deg = jnp.maximum(degree[:npad], 1.0)[:, :, None]       # [Np, H, 1]
     g_eff = jnp.zeros((npad, heads, dh), jnp.float32)
     off = 0
@@ -289,9 +287,9 @@ def _core_bwd(npad, max_in_degree, keep_arr, aggs, residuals, g_out):
 
     g_vmsg = (alpha * keep)[:, :, None] * g_e
     s = (g_e * vmsg).sum(-1) * keep                        # [Ep, H]
-    weighted = segment_sum_ell(alpha * s, ids, ns, k)      # [Np+1, H]
+    weighted = segment_sum(alpha * s, ids, ns)             # [Np+1, H]
     g_logits = alpha * (s - weighted[ids])
-    return g_logits, g_vmsg, jnp.zeros_like(edge_dst)
+    return g_logits, g_vmsg, jnp.zeros_like(keep), jnp.zeros_like(edge_dst)
 
 
 _attention_core.defvjp(_core_fwd, _core_bwd)
@@ -344,14 +342,16 @@ def gt_attention_pallas(
     if e_gate_logits is not None:
         logits = logits * jax.nn.sigmoid(e_gate_logits)
 
-    keep_arr = None
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep_arr = jax.random.bernoulli(
             dropout_rng, 1.0 - dropout_rate,
             logits.shape).astype(jnp.float32) / (1.0 - dropout_rate)
+    else:
+        keep_arr = jnp.ones(logits.shape, jnp.float32)
 
     logits32 = logits.astype(jnp.float32)
     vmsg32 = v_j.astype(jnp.float32)
-    out = _attention_core(logits32, vmsg32, edge_dst.astype(jnp.int32),
-                          npad, max_in_degree, keep_arr, aggs)
+    out = _attention_core(logits32, vmsg32, keep_arr,
+                          edge_dst.astype(jnp.int32), npad, max_in_degree,
+                          aggs)
     return out.astype(q.dtype), eij

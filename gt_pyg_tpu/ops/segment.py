@@ -18,10 +18,15 @@ shapes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
+# ELL-window segment ops: measured SLOWER than sorted scatters on v5e for
+# this workload (fwd 74ms vs 36ms) — opt-in for experimentation.
+USE_ELL = os.environ.get("GT_TPU_SEGMENT_ELL", "0") == "1"
 
 # PyG's segment softmax adds 1e-16 to the denominator
 # (torch_geometric.utils.softmax) — kept for activation parity.
@@ -88,7 +93,7 @@ def segment_softmax(logits, ids, num_segments, sorted_ids=True,
     """
     from .gather import gather_by_dst
 
-    if max_per_segment is not None and sorted_ids:
+    if USE_ELL and max_per_segment is not None and sorted_ids:
         maxes = segment_max_ell(logits, ids, num_segments, max_per_segment)
         maxes = jax.lax.stop_gradient(
             jnp.where(jnp.isfinite(maxes), maxes, 0.0))
@@ -267,7 +272,8 @@ def multi_aggregate(
     With ``max_per_segment`` set (and sorted ids), sum/mean/max/min/var/
     std ride the scatter-free ELL-window path.
     """
-    ell = (max_per_segment if (max_per_segment is not None and sorted_ids)
+    ell = (max_per_segment
+           if (USE_ELL and max_per_segment is not None and sorted_ids)
            else None)
 
     def _counts():
