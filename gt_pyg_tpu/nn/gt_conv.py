@@ -89,20 +89,22 @@ class GTConv(nn.Module):
         x_res = x
         x_norm = self.norm_fn("norm1", self.node_in_dim)(x_res, node_mask, use_ra)
 
-        q = dense(self.hidden_dim, "WQ", self.qkv_bias)(x_norm).reshape(-1, H, Dh)
-        k = dense(self.hidden_dim, "WK", self.qkv_bias)(x_norm).reshape(-1, H, Dh)
-        v = dense(self.hidden_dim, "WV", self.qkv_bias)(x_norm).reshape(-1, H, Dh)
+        # all projections stay 2-D [rows, hidden] — per-head structure is
+        # handled inside gt_attention via indicator matmuls (a [*, H, Dh]
+        # layout with Dh=16 would pad to 128 lanes and 8x the HBM traffic)
+        q = dense(self.hidden_dim, "WQ", self.qkv_bias)(x_norm)
+        k = dense(self.hidden_dim, "WK", self.qkv_bias)(x_norm)
+        v = dense(self.hidden_dim, "WV", self.qkv_bias)(x_norm)
 
         gate_n = None
         if self.gate:
-            gate_n = dense(self.hidden_dim, "n_gate")(x_norm).reshape(-1, H, Dh)
+            gate_n = dense(self.hidden_dim, "n_gate")(x_norm)
 
         e_bias = e_val = e_gate_logits = None
         if self.edge_in_dim is not None:
             edge_attr_norm = self.norm_fn("norm0e", self.edge_in_dim)(
                 edge_attr, edge_mask, use_ra)
             e_val = dense(self.hidden_dim, "WE_value")(edge_attr_norm)
-            e_val = e_val.reshape(-1, H, Dh)
             # bias/gate read the RAW per-layer edge state (gt_conv.py:367,386)
             e_bias = dense(H, "WE_logits")(edge_attr)
             if self.gate:
@@ -113,7 +115,7 @@ class GTConv(nn.Module):
             attn_rng = self.make_rng("dropout")
 
         out, eij = gt_attention(
-            q, k, v, edge_src, edge_dst,
+            q, k, v, edge_src, edge_dst, H,
             e_bias=e_bias, e_val=e_val, gate_n=gate_n,
             e_gate_logits=e_gate_logits,
             aggregators=tuple(self.aggregators),
@@ -122,9 +124,7 @@ class GTConv(nn.Module):
             max_in_degree=self.max_in_degree,
             impl=self.attn_impl,
             edge_perm_src=edge_perm_src,
-        )
-        num_aggrs = len(self.aggregators)
-        out = out.reshape(-1, self.hidden_dim * num_aggrs)
+        )                               # [Np, hidden * A], [h][a][d] layout
 
         drop = lambda name: nn.Dropout(rate=self.dropout, name=name)
 
@@ -145,8 +145,7 @@ class GTConv(nn.Module):
             return x_out, edge_attr
 
         # ---- edge update path (pre-softmax QK ⊙ E_val, gt_conv.py:323-341)
-        e_context = eij.reshape(-1, self.hidden_dim)
-        e_attn = dense(self.edge_in_dim, "WOe")(e_context)
+        e_attn = dense(self.edge_in_dim, "WOe")(eij)
         e_attn = drop("dropout_e_attn")(e_attn, deterministic=deterministic)
         e1 = edge_attr + e_attn
         e1_norm = self.norm_fn("norm1e", self.edge_in_dim)(e1, edge_mask, use_ra)

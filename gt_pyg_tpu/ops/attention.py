@@ -13,9 +13,14 @@ Functional core of GTConv's message passing (reference semantics from
     out_n = aggregate_a(alpha_e * V_e)           (per aggregator, concat)
     eij_e = (Q[dst_e] * K[src_e]) / sqrt(Dh) * E_val_e   (edge update path)
 
-Two implementations share this contract: the ``lax`` path (XLA gathers +
-sorted segment ops — always available, used for parity tests and as the
-autodiff reference) and the fused Pallas TPU kernel
+TPU layout note: everything stays 2-D ``[rows, hidden]`` — a
+``[rows, H, Dh]`` tensor with Dh=16 pads its minor dim to the 128-lane
+tile, inflating memory traffic ~8x. Per-head reductions/broadcasts run
+as matmuls against a constant block-indicator matrix (MXU work).
+
+Two implementations share the contract: the ``lax`` path (XLA gathers +
+sorted segment ops — always available, the autodiff/semantics reference)
+and the fused Pallas TPU kernel
 (:mod:`gt_pyg_tpu.ops.pallas.gt_attention`).
 """
 
@@ -26,19 +31,42 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .segment import multi_aggregate, segment_softmax
 
 
+def head_indicator(num_heads: int, dh: int, dtype=jnp.float32):
+    """S [hidden, H]: S[i, h] = 1 iff i // dh == h. ``x @ S`` sums each
+    head's block; ``a @ S.T`` broadcasts per-head scalars across Dh."""
+    s = np.kron(np.eye(num_heads, dtype=np.float32),
+                np.ones((dh, 1), np.float32))
+    return jnp.asarray(s, dtype)
+
+
+def interleave_perm(num_heads: int, dh: int, num_aggrs: int) -> jnp.ndarray:
+    """Permutation mapping aggregator-major concat [a][h][d] onto the
+    reference layout [h][a][d] (PyG MultiAggregation cat on the last axis
+    of [N, H, Dh] then flatten — gt_conv.py:61,310)."""
+    hidden = num_heads * dh
+    perm = np.empty(num_aggrs * hidden, np.int32)
+    for h in range(num_heads):
+        for a in range(num_aggrs):
+            for d in range(dh):
+                perm[h * num_aggrs * dh + a * dh + d] = a * hidden + h * dh + d
+    return jnp.asarray(perm)
+
+
 def gt_attention(
-    q: jnp.ndarray,              # [Np, H, Dh]
-    k: jnp.ndarray,              # [Np, H, Dh]
-    v: jnp.ndarray,              # [Np, H, Dh]
+    q: jnp.ndarray,              # [Np, hidden]
+    k: jnp.ndarray,              # [Np, hidden]
+    v: jnp.ndarray,              # [Np, hidden]
     edge_src: jnp.ndarray,       # [Ep] int32 (padding -> Np)
     edge_dst: jnp.ndarray,       # [Ep] int32, sorted (padding -> Np)
+    num_heads: int,
     e_bias: Optional[jnp.ndarray] = None,    # [Ep, H]
-    e_val: Optional[jnp.ndarray] = None,     # [Ep, H, Dh]
-    gate_n: Optional[jnp.ndarray] = None,    # [Np, H, Dh]
+    e_val: Optional[jnp.ndarray] = None,     # [Ep, hidden]
+    gate_n: Optional[jnp.ndarray] = None,    # [Np, hidden]
     e_gate_logits: Optional[jnp.ndarray] = None,  # [Ep, H]
     aggregators: Sequence[str] = ("sum",),
     dropout_rate: float = 0.0,
@@ -47,63 +75,77 @@ def gt_attention(
     impl: str = "lax",
     edge_perm_src: Optional[jnp.ndarray] = None,  # [Ep] src-sort perm
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Returns (node_out [Np, H, Dh*A], eij [Ep, H, Dh] or None).
+    """Returns (node_out [Np, hidden * A] in reference [h][a][d] layout,
+    eij [Ep, hidden] or None).
 
-    Padding edges must target the trash node slot ``Np`` (an extra segment
-    that is computed and discarded), and padding sources the trash row of
-    the node arrays (zeros there keep the math clean).
+    Padding edges must target the trash node slot ``Np`` (an extra
+    segment that is computed and discarded), and padding sources the
+    trash row of the node arrays.
     """
     if impl == "pallas":
         from .pallas.gt_attention import gt_attention_pallas
 
         return gt_attention_pallas(
-            q, k, v, edge_src, edge_dst, e_bias, e_val, gate_n,
+            q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
             e_gate_logits, aggregators, dropout_rate, dropout_rng,
             max_in_degree=max_in_degree, edge_perm_src=edge_perm_src,
         )
     return _gt_attention_lax(
-        q, k, v, edge_src, edge_dst, e_bias, e_val, gate_n, e_gate_logits,
-        aggregators, dropout_rate, dropout_rng, max_in_degree,
-        edge_perm_src,
+        q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
+        e_gate_logits, aggregators, dropout_rate, dropout_rng,
+        max_in_degree, edge_perm_src,
     )
 
 
-def _gt_attention_lax(
-    q, k, v, edge_src, edge_dst, e_bias, e_val, gate_n, e_gate_logits,
-    aggregators, dropout_rate, dropout_rng, max_in_degree,
-    edge_perm_src=None,
-):
+def form_messages(q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val,
+                  gate_n, e_gate_logits, edge_perm_src):
+    """Shared XLA stage: per-edge logits [Ep, H], messages [Ep, hidden],
+    and eij [Ep, hidden] — all 2-D."""
     from .gather import gather_by_dst, gather_by_src
 
-    npad, num_heads, dh = q.shape
+    npad, hidden = q.shape
+    dh = hidden // num_heads
     scale = 1.0 / math.sqrt(dh)
+    S = head_indicator(num_heads, dh, jnp.float32)
 
-    # pad the node arrays with a trash row so padding src/dst gathers hit
-    # zeros instead of clamping onto a real node
-    zrow = jnp.zeros((1, num_heads, dh), dtype=q.dtype)
+    zrow = jnp.zeros((1, hidden), dtype=q.dtype)
     qp = jnp.concatenate([q, zrow], axis=0)
     kp = jnp.concatenate([k, zrow], axis=0)
     vp = jnp.concatenate([v, zrow], axis=0)
 
-    q_i = gather_by_dst(qp, edge_dst)        # [Ep, H, Dh]
+    q_i = gather_by_dst(qp, edge_dst)        # [Ep, hidden]
     k_j = gather_by_src(kp, edge_src, edge_perm_src)
     v_j = gather_by_src(vp, edge_src, edge_perm_src)
 
-    logits_vec = q_i * k_j * scale           # [Ep, H, Dh]
-    logits = logits_vec.sum(axis=-1)         # [Ep, H]
+    prod = (q_i * k_j * scale).astype(jnp.float32)   # [Ep, hidden]
+    logits = jax.lax.dot(prod, S,
+                         precision=jax.lax.Precision.HIGHEST)  # [Ep, H]
 
     eij = None
     if e_val is not None:
-        eij = logits_vec * e_val             # [Ep, H, Dh] (edge-update path)
-        v_j = v_j + e_val                    # edge value added BEFORE gate
+        eij = (prod * e_val.astype(jnp.float32)).astype(q.dtype)
+        v_j = v_j + e_val
     if e_bias is not None:
-        logits = logits + e_bias
+        logits = logits + e_bias.astype(jnp.float32)
     if gate_n is not None:
         gp = jnp.concatenate([gate_n, zrow], axis=0)
         v_j = v_j * jax.nn.sigmoid(
             gather_by_src(gp, edge_src, edge_perm_src))
     if e_gate_logits is not None:
-        logits = logits * jax.nn.sigmoid(e_gate_logits)
+        logits = logits * jax.nn.sigmoid(e_gate_logits.astype(jnp.float32))
+    return logits, v_j, eij, S
+
+
+def _gt_attention_lax(
+    q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
+    e_gate_logits, aggregators, dropout_rate, dropout_rng, max_in_degree,
+    edge_perm_src=None,
+):
+    npad, hidden = q.shape
+    dh = hidden // num_heads
+    logits, v_j, eij, S = form_messages(
+        q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
+        e_gate_logits, edge_perm_src)
 
     alpha = segment_softmax(logits, edge_dst, npad + 1,
                             max_per_segment=max_in_degree)   # [Ep, H]
@@ -112,7 +154,13 @@ def _gt_attention_lax(
                                     alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
 
-    messages = alpha[..., None] * v_j        # [Ep, H, Dh]
+    # broadcast per-head alpha across Dh lanes via the indicator matmul
+    alpha_full = jax.lax.dot(alpha, S.T,
+                             precision=jax.lax.Precision.HIGHEST)
+    messages = alpha_full.astype(v_j.dtype) * v_j        # [Ep, hidden]
     out = multi_aggregate(messages, edge_dst, npad + 1, aggregators,
-                          max_per_segment=max_in_degree)   # [Np+1, H, Dh*A]
-    return out[:npad], eij
+                          max_per_segment=max_in_degree)  # [Np+1, hidden*A]
+    out = out[:npad]
+    if len(aggregators) > 1:
+        out = out[:, interleave_perm(num_heads, dh, len(aggregators))]
+    return out, eij

@@ -134,15 +134,17 @@ def _fused_kernel(
 
 def fused_segment_attention(
     logits: jnp.ndarray,        # [Ep, H] f32
-    vmsg: jnp.ndarray,          # [Ep, H, Dh]
+    vmsg: jnp.ndarray,          # [Ep, hidden] (or [Ep, H, Dh])
     edge_dst: jnp.ndarray,      # [Ep] int32 sorted (padding == Np)
     npad: int,
     keep: Optional[jnp.ndarray] = None,   # [Ep, H] dropout keep/(1-rate)
     max_in_degree: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (sum_out [Np, H, Dh], denom [Np, H], degree [Np, H])."""
+    """Returns (sum_out [Np, hidden], denom [Np, H], degree [Np, H])."""
     ep, heads = logits.shape
-    dh = vmsg.shape[-1]
+    if vmsg.ndim == 3:
+        vmsg = vmsg.reshape(ep, -1)
+    dh = vmsg.shape[-1] // heads
 
     n_tiles = pl.cdiv(npad, NT)
     npad_r = n_tiles * NT
@@ -156,7 +158,7 @@ def fused_segment_attention(
     pad_e = ep_r - ep
     big_dst = jnp.int32(npad_r + NT)  # outside every tile
     logits_p = jnp.pad(logits, ((0, pad_e), (0, 0)))
-    vmsg_p = jnp.pad(vmsg.reshape(ep, heads * dh), ((0, pad_e), (0, 0)))
+    vmsg_p = jnp.pad(vmsg, ((0, pad_e), (0, 0)))
     keep_p = (jnp.pad(keep, ((0, pad_e), (0, 0)), constant_values=1.0)
               if keep is not None
               else jnp.ones((ep_r, heads), jnp.float32))
@@ -219,50 +221,58 @@ def fused_segment_attention(
             vmem_limit_bytes=_VMEM_LIMIT),
     )(tile_block_start, logits_p, vmsg_p, keep_p, dst_p)
 
-    out_sum = out_sum[:npad].reshape(npad, heads, dh)
-    return out_sum, denom[:npad], degree[:npad]
+    return out_sum[:npad], denom[:npad], degree[:npad]
 
 
-def _normalize(out_sum, denom, degree, aggs):
-    denom = denom[:, :, None] + _SOFTMAX_EPS
+def _normalize(out_sum, denom, degree, aggs, dh):
+    """out_sum [Np, hidden]; denom/degree [Np, H] broadcast across Dh
+    lanes by interleaved repeat. Output concat is aggregator-major; the
+    caller permutes to the reference [h][a][d] layout."""
+    den = jnp.repeat(denom, dh, axis=1) + _SOFTMAX_EPS     # [Np, hidden]
     outs = []
     for a in aggs:
         if a in ("sum", "add"):
-            outs.append(out_sum / denom)
+            outs.append(out_sum / den)
         elif a == "mean":
-            outs.append(out_sum / denom
-                        / jnp.maximum(degree[:, :, None], 1.0))
+            deg = jnp.maximum(jnp.repeat(degree, dh, axis=1), 1.0)
+            outs.append(out_sum / den / deg)
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _attention_core(logits, vmsg, keep_arr, edge_dst, npad, max_in_degree,
-                    aggs):
+                    aggs, num_heads):
     """Normalized attention output [Np, H, Dh*A] with custom VJP (forward
     = fused Pallas kernel; backward = lax segment ops on recomputed
     alpha). ``keep_arr`` is the dropout keep/(1-rate) array (all-ones
     when dropout is off); its cotangent is zero (the mask is fixed for
     the step)."""
+    dh = vmsg.shape[-1] // num_heads
     out_sum, denom, degree = fused_segment_attention(
         logits, vmsg, edge_dst, npad, keep=keep_arr,
         max_in_degree=max_in_degree)
-    return _normalize(out_sum, denom, degree, aggs)
+    return _normalize(out_sum, denom, degree, aggs, dh)
 
 
-def _core_fwd(logits, vmsg, keep_arr, edge_dst, npad, max_in_degree, aggs):
+def _core_fwd(logits, vmsg, keep_arr, edge_dst, npad, max_in_degree, aggs,
+              num_heads):
     out = _attention_core(logits, vmsg, keep_arr, edge_dst, npad,
-                          max_in_degree, aggs)
+                          max_in_degree, aggs, num_heads)
     return out, (logits, vmsg, keep_arr, edge_dst)
 
 
-def _core_bwd(npad, max_in_degree, aggs, residuals, g_out):
+def _core_bwd(npad, max_in_degree, aggs, num_heads, residuals, g_out):
+    from ..attention import head_indicator
+    from ..gather import gather_by_dst
     from ..segment import segment_softmax, segment_sum
 
     logits, vmsg, keep, edge_dst = residuals
     ep, heads = logits.shape
-    dh = vmsg.shape[-1]
+    hidden = vmsg.shape[-1]
+    dh = hidden // heads
     ids = edge_dst
     ns = npad + 1
+    S = head_indicator(heads, dh, jnp.float32)
 
     alpha = segment_softmax(logits, ids, ns)               # [Ep, H]
 
@@ -271,22 +281,25 @@ def _core_bwd(npad, max_in_degree, aggs, residuals, g_out):
     # the (logit-independent) in-degree
     degree = segment_sum(jnp.ones((ep, heads), jnp.float32)
                          * (ids < npad)[:, None], ids, ns)
-    deg = jnp.maximum(degree[:npad], 1.0)[:, :, None]       # [Np, H, 1]
-    g_eff = jnp.zeros((npad, heads, dh), jnp.float32)
+    deg = jnp.repeat(jnp.maximum(degree[:npad], 1.0), dh, axis=1)
+    g_eff = jnp.zeros((npad, hidden), jnp.float32)
     off = 0
     for a in aggs:
-        piece = g_out[..., off:off + dh]
+        piece = g_out[..., off:off + hidden]
         if a in ("sum", "add"):
             g_eff = g_eff + piece
         elif a == "mean":
             g_eff = g_eff + piece / deg
-        off += dh
+        off += hidden
 
-    g_p = jnp.pad(g_eff, ((0, 1), (0, 0), (0, 0)))
-    g_e = g_p[ids]                                         # [Ep, H, Dh]
+    g_p = jnp.pad(g_eff, ((0, 1), (0, 0)))
+    g_e = gather_by_dst(g_p, ids)                          # [Ep, hidden]
 
-    g_vmsg = (alpha * keep)[:, :, None] * g_e
-    s = (g_e * vmsg).sum(-1) * keep                        # [Ep, H]
+    ak_full = jax.lax.dot(alpha * keep, S.T,
+                          precision=jax.lax.Precision.HIGHEST)
+    g_vmsg = ak_full * g_e
+    s = jax.lax.dot(g_e * vmsg, S,
+                    precision=jax.lax.Precision.HIGHEST) * keep  # [Ep, H]
     weighted = segment_sum(alpha * s, ids, ns)             # [Np+1, H]
     g_logits = alpha * (s - weighted[ids])
     return g_logits, g_vmsg, jnp.zeros_like(keep), jnp.zeros_like(edge_dst)
@@ -296,51 +309,31 @@ _attention_core.defvjp(_core_fwd, _core_bwd)
 
 
 def gt_attention_pallas(
-    q, k, v, edge_src, edge_dst, e_bias, e_val, gate_n, e_gate_logits,
-    aggregators: Sequence[str], dropout_rate: float,
+    q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
+    e_gate_logits, aggregators: Sequence[str], dropout_rate: float,
     dropout_rng, max_in_degree: int = 16, edge_perm_src=None,
 ):
-    """Pallas-backed gt_attention (same contract as the lax path).
+    """Pallas-backed gt_attention (same 2-D contract as the lax path).
 
-    Per-edge logits/messages are formed in XLA (gathers + elementwise fuse
+    Per-edge logits/messages form in XLA (gathers + elementwise fuse
     well); the softmax+aggregate runs in the fused kernel. Falls back to
     the lax path for aggregators beyond sum/mean.
     """
+    from ..attention import (_gt_attention_lax, form_messages,
+                             interleave_perm)
+
     aggs = tuple(aggregators)
     if any(a not in ("sum", "add", "mean") for a in aggs):
-        from ..attention import _gt_attention_lax
+        return _gt_attention_lax(q, k, v, edge_src, edge_dst, num_heads,
+                                 e_bias, e_val, gate_n, e_gate_logits,
+                                 aggs, dropout_rate, dropout_rng,
+                                 max_in_degree, edge_perm_src)
 
-        return _gt_attention_lax(q, k, v, edge_src, edge_dst, e_bias, e_val,
-                                 gate_n, e_gate_logits, aggs, dropout_rate,
-                                 dropout_rng, max_in_degree, edge_perm_src)
-
-    from ..gather import gather_by_dst, gather_by_src
-
-    npad, heads, dh = q.shape
-    scale = 1.0 / math.sqrt(dh)
-    zrow = jnp.zeros((1, heads, dh), dtype=q.dtype)
-    qp = jnp.concatenate([q, zrow], axis=0)
-    kp = jnp.concatenate([k, zrow], axis=0)
-    vp = jnp.concatenate([v, zrow], axis=0)
-
-    q_i = gather_by_dst(qp, edge_dst)
-    k_j = gather_by_src(kp, edge_src, edge_perm_src)
-    v_j = gather_by_src(vp, edge_src, edge_perm_src)
-
-    logits_vec = q_i * k_j * scale
-    logits = logits_vec.sum(axis=-1)
-    eij = None
-    if e_val is not None:
-        eij = logits_vec * e_val
-        v_j = v_j + e_val
-    if e_bias is not None:
-        logits = logits + e_bias
-    if gate_n is not None:
-        gp = jnp.concatenate([gate_n, zrow], axis=0)
-        v_j = v_j * jax.nn.sigmoid(
-            gather_by_src(gp, edge_src, edge_perm_src))
-    if e_gate_logits is not None:
-        logits = logits * jax.nn.sigmoid(e_gate_logits)
+    npad, hidden = q.shape
+    dh = hidden // num_heads
+    logits, v_j, eij, _ = form_messages(
+        q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
+        e_gate_logits, edge_perm_src)
 
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep_arr = jax.random.bernoulli(
@@ -349,9 +342,10 @@ def gt_attention_pallas(
     else:
         keep_arr = jnp.ones(logits.shape, jnp.float32)
 
-    logits32 = logits.astype(jnp.float32)
-    vmsg32 = v_j.astype(jnp.float32)
-    out = _attention_core(logits32, vmsg32, keep_arr,
+    out = _attention_core(logits.astype(jnp.float32),
+                          v_j.astype(jnp.float32), keep_arr,
                           edge_dst.astype(jnp.int32), npad, max_in_degree,
-                          aggs)
+                          aggs, num_heads)
+    if len(aggs) > 1:
+        out = out[:, interleave_perm(num_heads, dh, len(aggs))]
     return out.astype(q.dtype), eij
