@@ -62,6 +62,15 @@ def main():
 
     # NOTE: jax persistent compilation cache is intentionally NOT enabled
     # here — it stalls under the axon remote-compile path.
+    # Expose the cpu backend next to the accelerator so un-jitted
+    # model.init runs on the host (seconds instead of minutes of remote
+    # op-by-op dispatch).
+    try:
+        cur = jax.config.jax_platforms or ""
+        if cur and "cpu" not in cur:
+            jax.config.update("jax_platforms", cur + ",cpu")
+    except Exception:
+        pass
 
     from gt_pyg_tpu.nn import GraphTransformerNet
     from gt_pyg_tpu.train.losses import custom_loss
@@ -77,9 +86,10 @@ def main():
         aggregators=("sum", "mean", "max", "std"),
         dtype=jnp.bfloat16,
     )
+    from gt_pyg_tpu.train.trainer import init_on_host
+
+    variables = init_on_host(model, batch, jax.random.PRNGKey(0))
     jb = jax.tree_util.tree_map(jnp.asarray, batch)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, jb,
-                           deterministic=True)
     tx = optax.chain(optax.clip_by_global_norm(5.0),
                      optax.adamw(1e-3, weight_decay=1e-5))
     opt_state = tx.init(variables["params"])

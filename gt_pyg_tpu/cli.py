@@ -350,12 +350,21 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    import jax
+
     if args.platform:
         # must run before any jax computation; the axon sitecustomize pins
         # JAX_PLATFORMS in the env, so set the config directly
-        import jax
-
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # keep the cpu backend available next to the accelerator so
+        # un-jitted model.init runs host-side (see trainer.init_on_host)
+        try:
+            cur = jax.config.jax_platforms or ""
+            if cur and "cpu" not in cur:
+                jax.config.update("jax_platforms", cur + ",cpu")
+        except Exception:
+            pass
     return args.fn(args)
 
 

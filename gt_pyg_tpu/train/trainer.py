@@ -64,6 +64,28 @@ class TrainState(dict):
     """Lightweight state pytree: params / batch_stats / opt_state / step."""
 
 
+def init_on_host(model, sample_batch, rng):
+    """``model.init`` on the host CPU backend when available.
+
+    Un-jitted initialization executes op-by-op; on remote/tunnelled TPU
+    runtimes that costs minutes (every tiny op round-trips), while the
+    same init on the CPU backend takes seconds. Requires the process to
+    expose a cpu backend alongside the accelerator (e.g.
+    ``jax_platforms="axon,cpu"``); falls back to the default device."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            variables = model.init({"params": rng}, sample_batch,
+                                   deterministic=True)
+        dev = jax.devices()[0]
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dev), variables)
+    return model.init({"params": rng}, sample_batch, deterministic=True)
+
+
 def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
@@ -107,8 +129,7 @@ class Trainer:
         except TypeError:
             pass  # already-traced batch; caller validated host-side
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
-        variables = self.model.init({"params": rng}, sample_batch,
-                                    deterministic=True)
+        variables = init_on_host(self.model, sample_batch, rng)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
