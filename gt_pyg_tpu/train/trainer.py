@@ -113,8 +113,10 @@ class Trainer:
         # functional analog of the reference's BN-eval-on-freeze,
         # model.py:374-385)
         self.frozen_bstats_mask = frozen_bstats_mask
-        self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0,))
+        # no buffer donation: donating the state makes Trainer.fit consume
+        # its input (a footgun for callers that reuse/init once); the
+        # params are small relative to activations, so the copy is cheap
+        self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ---- state ----
