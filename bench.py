@@ -21,8 +21,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 A100_PYG_EDGE_LAYER_PER_S = 2.0e7
 
 BATCH_GRAPHS = 1024

@@ -16,7 +16,6 @@ backbone. The reference's state-dict key space (``gt_pyg/nn/model.py``,
 from __future__ import annotations
 
 import logging
-import re
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -142,7 +141,6 @@ def merge_pretrained(init_state: Dict[str, Any],
                      strict: bool = False) -> Dict[str, Any]:
     """Overlay pretrained subtrees onto a freshly-initialized state
     (missing keys keep their init values — torch ``strict=False``)."""
-    import jax
 
     def overlay(dst, src, path=""):
         out = dict(dst)

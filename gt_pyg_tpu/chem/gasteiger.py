@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from .mol import Mol, DOUBLE, TRIPLE
+from .mol import Mol, DOUBLE
 
 # (a, b, c) electronegativity polynomial chi(q) = a + b*q + c*q^2
 # per element symbol + orbital label. Classic PEOE parameter set.

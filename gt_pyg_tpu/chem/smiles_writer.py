@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from .mol import (
     Mol, SINGLE, DOUBLE, TRIPLE, AROMATIC,
-    CHI_CW, CHI_CCW, STEREONONE, STEREOZ, STEREOE,
+    CHI_CW, CHI_CCW, STEREOZ, STEREOE,
 )
 from .periodic import ORGANIC_SUBSET
 

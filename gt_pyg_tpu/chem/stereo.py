@@ -16,9 +16,9 @@ branches) are cleaned to CHI_UNSPECIFIED, mirroring ``cleanIt=True``.
 from __future__ import annotations
 
 from .mol import (
-    Mol, DOUBLE, TRIPLE,
+    Mol, DOUBLE,
     CHI_UNSPECIFIED, CHI_CW, CHI_CCW,
-    STEREONONE, STEREOZ, STEREOE, DIR_NONE, DIR_UP, DIR_DOWN,
+    STEREOZ, STEREOE, DIR_NONE, DIR_UP,
 )
 
 

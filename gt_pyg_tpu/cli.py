@@ -71,7 +71,7 @@ def _featurize(smiles, y, ids=None):
 def cmd_train(args) -> int:
     import numpy as np
 
-    from .data.datasets import load_admet_csv, shuffle_split, LOG_ENDPOINTS
+    from .data.datasets import shuffle_split, LOG_ENDPOINTS
     from .train import Trainer, TrainConfig
     from .checkpoint import save_model_checkpoint
 

@@ -8,7 +8,7 @@ small across an epoch (recompilation-storm avoidance, SURVEY.md §7).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -12,8 +12,7 @@ DDP/NCCL layer (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..data.graph import GraphBatch, pad_graph_batch
-from ..data.loader import iter_batches
 
 
 def stack_shards(batches: Sequence[GraphBatch]) -> GraphBatch:

@@ -15,8 +15,6 @@ workloads prefer :mod:`gt_pyg_tpu.parallel.data_parallel`.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Union
 
 import jax
-import numpy as np
 
 COMPONENT_PREFIXES: Dict[str, List[str]] = {
     "embeddings": ["node_emb", "edge_emb"],

@@ -9,7 +9,7 @@ compare_predictions.ipynb cells 3/9).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 from scipy.stats import kendalltau, spearmanr

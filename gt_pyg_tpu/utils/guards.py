@@ -4,7 +4,7 @@ race detection; NaN/Inf guards mirror the reference's NaN-loss skip)."""
 from __future__ import annotations
 
 import logging
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp
