@@ -214,3 +214,31 @@ class TestCanonicalInvariance:
         m = parse_smiles("O=C1NC(=O)c2ccccc21")
         # benzo ring aromatic (6), imide ring not
         assert sum(a.is_aromatic for a in m.atoms) == 6
+
+
+class TestParserEdgeCases:
+    @pytest.mark.parametrize("smi,charges,isotopes", [
+        ("[13CH4]", [0], [13]),
+        ("[Fe++]", [2], [0]),
+        ("[Fe+2]", [2], [0]),
+        ("[O--]", [-2], [0]),
+        ("[nH+]1ccccc1", [1, 0, 0, 0, 0, 0], [0] * 6),
+    ])
+    def test_bracket_atoms(self, smi, charges, isotopes):
+        m = parse_smiles(smi)
+        assert [a.formal_charge for a in m.atoms] == charges
+        assert [a.isotope for a in m.atoms] == isotopes
+
+    def test_percent_ring_closure(self):
+        m = parse_smiles("C%10CCCCC%10")
+        assert m.num_atoms == 6 and m.num_bonds == 6
+        assert len(m.ring_info()[0]) == 1
+
+    def test_selenophene_aromatic(self):
+        m = parse_smiles("c1cc[se]c1")
+        assert sum(a.is_aromatic for a in m.atoms) == 5
+        assert m.atoms[3].symbol == "Se"
+
+    def test_pyridinium_hydrogens(self):
+        m = parse_smiles("[nH+]1ccccc1")
+        assert m.atoms[0].total_num_hs == 1
