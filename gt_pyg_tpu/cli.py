@@ -101,6 +101,7 @@ def cmd_train(args) -> int:
         warmup_epochs=args.warmup, t_max=min(args.t_max, args.epochs),
         loss=("mae" if args.demo_loss else "composite"),
         seed=args.seed, log_every=args.log_every,
+        prng_impl=args.prng,
     )
     trainer = Trainer(model, cfg)
 
@@ -299,6 +300,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--t-max", type=int, default=500)
     t.add_argument("--demo-loss", action="store_true",
                    help="plain masked MAE (the demo recipe)")
+    t.add_argument("--prng", default=None, choices=[None, "rbg"],
+                   help="PRNG impl for dropout/reparam (rbg is faster on "
+                        "TPU; default threefry)")
     t.add_argument("--seed", type=int, default=1928374650)
     t.add_argument("--split-seed", type=int, default=42)
     t.add_argument("--num-train", type=int, default=None)

@@ -58,6 +58,8 @@ class TrainConfig:
     eval_every: int = 1
     log_every: int = 5
     zero_var: bool = False                   # sample the Gaussian in training
+    prng_impl: Optional[str] = None          # e.g. "rbg": ~6ms/step cheaper
+                                             # dropout masks on TPU
 
 
 class TrainState(dict):
@@ -313,7 +315,8 @@ class Trainer:
         train_mins = np.nanmin(np.where(m_tr > 0, y_tr, np.nan), axis=0)
         train_maxs = np.nanmax(np.where(m_tr > 0, y_tr, np.nan), axis=0)
 
-        rng = jax.random.PRNGKey(c.seed)
+        rng = (jax.random.key(c.seed, impl=c.prng_impl) if c.prng_impl
+               else jax.random.PRNGKey(c.seed))
         best = {"val_rae": float("inf"), "state": None, "epoch": 0}
         per_ep_best = {ep: {"nma": float("inf"), "state": None, "epoch": 0}
                        for ep in c.endpoints}
