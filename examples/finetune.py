@@ -36,6 +36,7 @@ def main(argv=None):
         "train", "--csv", train_csv, "--endpoint", args.endpoint,
         "--epochs", str(args.epochs), "--out", args.out,
         "--init-from", args.pretrained, "--reinit-heads",
+        "--model-from-ckpt",
         "--dropout", "0.2", "--head-dropout", "0.2",
         "--num-head-layers", "1",
     ]

@@ -92,7 +92,44 @@ def cmd_train(args) -> int:
     va_ds = _featurize(va_df["SMILES"].tolist(),
                        va_df[endpoints].values.tolist())
 
+    if args.model_from_ckpt and args.init_from \
+            and not args.init_from.endswith(".pt"):
+        # adopt the checkpoint's backbone architecture (head args stay
+        # CLI-controlled) — the fine-tune notebooks' backbone-match
+        # contract (train_logd_finetune.ipynb cell 6)
+        from .checkpoint import get_checkpoint_info
+
+        cfg_saved = get_checkpoint_info(args.init_from).get("model_config")
+        if cfg_saved:
+            args.hidden_dim = cfg_saved["hidden_dim"]
+            args.num_layers = cfg_saved["num_gt_layers"]
+            args.num_heads = cfg_saved["num_heads"]
+            args.norm = cfg_saved["norm"]
+            args.no_gate = not cfg_saved["gate"]
+            args.gt_aggregators = ",".join(cfg_saved["gt_aggregators"])
+            args.aggregators = ",".join(cfg_saved["aggregators"])
+            logger.info("adopted backbone config from %s", args.init_from)
+
     model = _build_model(args, num_tasks=len(endpoints))
+
+    if args.init_from and not args.init_from.endswith(".pt"):
+        from .checkpoint import get_checkpoint_info
+
+        cfg_saved = get_checkpoint_info(args.init_from).get("model_config")
+        if cfg_saved:
+            # reference finetune contract: backbone keys must match
+            backbone_keys = ("node_dim_in", "edge_dim_in", "hidden_dim",
+                             "norm", "gate", "qkv_bias", "num_gt_layers",
+                             "num_heads", "gt_aggregators", "aggregators",
+                             "act")
+            cur = model.get_config()
+            bad = [k for k in backbone_keys if cfg_saved.get(k) != cur[k]]
+            if bad:
+                raise ValueError(
+                    f"backbone config mismatch vs {args.init_from}: "
+                    + "; ".join(f"{k}: ckpt={cfg_saved.get(k)!r} "
+                                f"model={cur[k]!r}" for k in bad)
+                    + ". Pass --model-from-ckpt or matching model flags.")
     cfg = TrainConfig(
         endpoints=tuple(endpoints), epochs=args.epochs,
         batch_train=args.batch_size, batch_eval=args.batch_eval,
@@ -318,6 +355,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".ckpt or torch .pt backbone to initialize from")
     t.add_argument("--reinit-heads", action="store_true",
                    help="drop mu/log_var heads when loading --init-from")
+    t.add_argument("--model-from-ckpt", action="store_true",
+                   help="adopt the backbone architecture from --init-from "
+                        "(head flags stay CLI-controlled)")
     t.add_argument("--freeze", default=None,
                    help="components to freeze, e.g. 'all' or 'encoder'")
     t.add_argument("--freeze-exclude", default=None)
