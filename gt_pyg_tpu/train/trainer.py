@@ -335,10 +335,13 @@ class Trainer:
                             "time": time.time() - t0})
 
             if np.isfinite(avg["RAE"]) and avg["RAE"] < best["val_rae"]:
+                # device-side copy: per-leaf host transfers cost minutes
+                # over tunnelled runtimes; fetch once at save time instead
                 best = {"val_rae": avg["RAE"],
-                        "state": jax.tree_util.tree_map(np.asarray, {
-                            "params": state["params"],
-                            "batch_stats": state["batch_stats"]}),
+                        "state": jax.tree_util.tree_map(
+                            lambda x: x.copy(), {
+                                "params": state["params"],
+                                "batch_stats": state["batch_stats"]}),
                         "epoch": epoch}
 
             for ti, ep in enumerate(c.endpoints):
@@ -351,9 +354,10 @@ class Trainer:
                 if nma < per_ep_best[ep]["nma"]:
                     per_ep_best[ep] = {
                         "nma": nma, "epoch": epoch,
-                        "state": jax.tree_util.tree_map(np.asarray, {
-                            "params": state["params"],
-                            "batch_stats": state["batch_stats"]})}
+                        "state": jax.tree_util.tree_map(
+                            lambda x: x.copy(), {
+                                "params": state["params"],
+                                "batch_stats": state["batch_stats"]})}
 
             if epoch == 1 or epoch % c.log_every == 0 or epoch == c.epochs:
                 va = macro_official_avg(val_metrics)
