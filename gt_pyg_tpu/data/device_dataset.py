@@ -1,0 +1,240 @@
+"""Device-resident dataset with on-device batch materialization.
+
+Motivation: per-step host→device transfers of the padded batch (~6.5 MB)
+are both bandwidth and — on tunnelled runtimes — a *host memory leak*
+(the axon client pins every transferred buffer; a 2000-epoch run leaks
+>100 GB and gets OOM-killed). The TPU-native fix is to ship the
+featurized dataset to HBM once and assemble each shuffled minibatch on
+device from small gather-index arrays (~100 KB/batch):
+
+    flat features  [N_tot, F], [E_tot, D]      (one transfer, resident)
+    per batch:     node_gather [Np], edge_gather [Ep], graph ids [Bp]
+    on device:     node_x = flat_x[node_gather]  (zero row for padding)
+                   edge_src/dst = flat_local[edge_gather] + per-graph offset
+                   masks from index-vs-size compares
+
+Per-graph edges are stored destination-sorted, so concatenation by graph
+order preserves the global sorted-by-dst contract of ``pad_graph_batch``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .graph import GraphBatch, GraphData, _round_up
+
+
+@dataclasses.dataclass
+class IndexBatch:
+    """Host-side minibatch recipe (small arrays; the only per-step
+    transfer)."""
+
+    node_gather: np.ndarray   # [Np] int32 into flat nodes (N_tot == pad)
+    edge_gather: np.ndarray   # [Ep] int32 into flat edges (E_tot == pad)
+    graph_ids: np.ndarray     # [Bp] int32 into dataset graphs (G == pad)
+    node_offset: np.ndarray   # [Bp+1] int32 batch-local node offsets
+    num_nodes: np.ndarray     # [] int32
+    num_edges: np.ndarray     # [] int32
+    num_graphs: np.ndarray    # [] int32
+
+
+try:
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        IndexBatch,
+        lambda b: (tuple(getattr(b, f.name)
+                         for f in dataclasses.fields(b)), None),
+        lambda aux, vals: IndexBatch(*vals),
+    )
+except Exception:  # pragma: no cover
+    pass
+
+
+class DeviceDataset:
+    """Featurized graphs resident on device, batched by index."""
+
+    def __init__(self, graphs: Sequence[GraphData],
+                 num_tasks: Optional[int] = None):
+        import jax.numpy as jnp
+
+        G = len(graphs)
+        if G == 0:
+            raise ValueError("empty dataset")
+        F = graphs[0].x.shape[1]
+        D = graphs[0].edge_attr.shape[1]
+        has_y = graphs[0].y is not None
+        T = graphs[0].y.shape[1] if has_y else (num_tasks or 1)
+
+        node_cnt = np.array([g.num_nodes for g in graphs], np.int32)
+        edge_cnt = np.array([g.num_edges for g in graphs], np.int32)
+        node_off = np.concatenate([[0], np.cumsum(node_cnt)]).astype(np.int32)
+        edge_off = np.concatenate([[0], np.cumsum(edge_cnt)]).astype(np.int32)
+        n_tot, e_tot = int(node_off[-1]), int(edge_off[-1])
+
+        flat_x = np.zeros((n_tot + 1, F), np.float32)       # +1 zero row
+        flat_e = np.zeros((e_tot + 1, D), np.float32)
+        loc_src = np.zeros(e_tot + 1, np.int32)
+        loc_dst = np.zeros(e_tot + 1, np.int32)
+        y = np.zeros((G + 1, T), np.float32)                # +1 zero row
+        y_mask = np.zeros((G + 1, T), np.float32)
+
+        for gi, g in enumerate(graphs):
+            a, b = node_off[gi], node_off[gi + 1]
+            flat_x[a:b] = g.x
+            ea, eb = edge_off[gi], edge_off[gi + 1]
+            if g.num_edges:
+                src = g.edge_index[0].astype(np.int64)
+                dst = g.edge_index[1].astype(np.int64)
+                order = np.argsort(dst, kind="stable")
+                loc_src[ea:eb] = src[order]
+                loc_dst[ea:eb] = dst[order]
+                flat_e[ea:eb] = g.edge_attr[order]
+            if has_y:
+                y[gi] = g.y[0]
+                y_mask[gi] = g.y_mask[0]
+
+        self.num_graphs_total = G
+        self.n_tot, self.e_tot = n_tot, e_tot
+        self.node_cnt, self.edge_cnt = node_cnt, edge_cnt
+        self.node_off, self.edge_off = node_off, edge_off
+        # device-resident tensors (single transfer each)
+        self.flat_x = jnp.asarray(flat_x)
+        self.flat_e = jnp.asarray(flat_e)
+        self.loc_src = jnp.asarray(loc_src)
+        self.loc_dst = jnp.asarray(loc_dst)
+        self.y = jnp.asarray(y)
+        self.y_mask = jnp.asarray(y_mask)
+        self.edge_cnt_dev = jnp.asarray(
+            np.concatenate([edge_cnt, np.zeros(1, np.int32)]))
+
+    # ---- host side: minibatch recipes ----
+    def index_batch(self, graph_ids: Sequence[int], node_pad: int,
+                    edge_pad: int, graph_pad: int) -> IndexBatch:
+        ids = np.asarray(graph_ids, np.int32)
+        B = len(ids)
+        nn = int(self.node_cnt[ids].sum())
+        ne = int(self.edge_cnt[ids].sum())
+        if nn > node_pad or ne > edge_pad or B > graph_pad:
+            raise ValueError(f"padding too small: {nn}>{node_pad} or "
+                             f"{ne}>{edge_pad} or {B}>{graph_pad}")
+
+        node_gather = np.full(node_pad, self.n_tot, np.int32)
+        edge_gather = np.full(edge_pad, self.e_tot, np.int32)
+        node_offset = np.zeros(graph_pad + 1, np.int32)
+        no = eo = 0
+        for k, gi in enumerate(ids):
+            node_offset[k] = no
+            a, b = self.node_off[gi], self.node_off[gi + 1]
+            node_gather[no:no + (b - a)] = np.arange(a, b, dtype=np.int32)
+            ea, eb = self.edge_off[gi], self.edge_off[gi + 1]
+            edge_gather[eo:eo + (eb - ea)] = np.arange(ea, eb,
+                                                       dtype=np.int32)
+            no += b - a
+            eo += eb - ea
+        node_offset[B:] = no
+        gids = np.full(graph_pad, self.num_graphs_total, np.int32)
+        gids[:B] = ids
+        return IndexBatch(
+            node_gather=node_gather, edge_gather=edge_gather,
+            graph_ids=gids, node_offset=node_offset,
+            num_nodes=np.int32(nn), num_edges=np.int32(ne),
+            num_graphs=np.int32(B))
+
+    def iter_index_batches(self, batch_size: int, shuffle: bool = False,
+                           rng: Optional[np.random.Generator] = None,
+                           node_multiple: int = 1024,
+                           edge_multiple: int = 2048):
+        order = np.arange(self.num_graphs_total)
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(order)
+        for s in range(0, len(order), batch_size):
+            ids = order[s:s + batch_size]
+            nn = int(self.node_cnt[ids].sum())
+            ne = int(self.edge_cnt[ids].sum())
+            yield self.index_batch(
+                ids,
+                node_pad=max(_round_up(nn, node_multiple), node_multiple),
+                edge_pad=max(_round_up(ne, edge_multiple), edge_multiple),
+                graph_pad=batch_size)
+
+    # ---- device side: materialization (call inside jit) ----
+    def device_tree(self) -> dict:
+        """The device-resident arrays as a pytree — pass this as a jit
+        ARGUMENT (closing over large arrays would bake them into the
+        compiled program as constants)."""
+        return {
+            "flat_x": self.flat_x, "flat_e": self.flat_e,
+            "loc_src": self.loc_src, "loc_dst": self.loc_dst,
+            "y": self.y, "y_mask": self.y_mask,
+            "edge_cnt": self.edge_cnt_dev,
+        }
+
+    def static_meta(self) -> tuple:
+        return (self.n_tot, self.e_tot, self.num_graphs_total)
+
+    def materialize(self, ib: IndexBatch) -> GraphBatch:
+        return materialize_batch(self.device_tree(), ib, self.static_meta())
+
+
+def materialize_batch(tree: dict, ib: IndexBatch, meta: tuple) -> GraphBatch:
+    """Assemble a GraphBatch on device from the resident arrays and an
+    IndexBatch recipe. jit-friendly: `tree` are traced args, `meta`
+    static python ints (n_tot, e_tot, num_graphs_total)."""
+    import jax.numpy as jnp
+
+    n_tot, e_tot, g_tot = meta
+    flat_x, flat_e = tree["flat_x"], tree["flat_e"]
+    loc_src_f, loc_dst_f = tree["loc_src"], tree["loc_dst"]
+
+    node_pad = ib.node_gather.shape[0]
+    edge_pad = ib.edge_gather.shape[0]
+    graph_pad = ib.graph_ids.shape[0]
+
+    node_x = flat_x[ib.node_gather]
+    edge_attr = flat_e[ib.edge_gather]
+    node_mask = (ib.node_gather < n_tot).astype(jnp.float32)
+    edge_mask = (ib.edge_gather < e_tot).astype(jnp.float32)
+
+    # batch-local edge indices: local id + the graph's batch node offset;
+    # each edge's batch graph slot via searchsorted on the batch's
+    # cumulative edge counts (edges are laid out per graph in gather
+    # order)
+    ecnt = tree["edge_cnt"][ib.graph_ids]                  # [Bp]
+    e_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                             jnp.cumsum(ecnt).astype(jnp.int32)])
+    pos = jnp.arange(edge_pad, dtype=jnp.int32)
+    eslot = jnp.clip(jnp.searchsorted(e_off, pos, side="right") - 1,
+                     0, graph_pad - 1).astype(jnp.int32)   # [Ep]
+    off_per_edge = ib.node_offset[eslot]
+    loc_s = loc_src_f[ib.edge_gather]
+    loc_d = loc_dst_f[ib.edge_gather]
+    edge_src = jnp.where(edge_mask > 0, loc_s + off_per_edge, node_pad)
+    edge_dst = jnp.where(edge_mask > 0, loc_d + off_per_edge, node_pad)
+
+    # node -> batch graph slot
+    npos = jnp.arange(node_pad, dtype=jnp.int32)
+    nslot = jnp.clip(
+        jnp.searchsorted(ib.node_offset, npos, side="right") - 1,
+        0, graph_pad - 1).astype(jnp.int32)
+    node_graph = jnp.where(node_mask > 0, nslot, graph_pad)
+
+    perm = jnp.argsort(edge_src, stable=True).astype(jnp.int32)
+
+    y = tree["y"][ib.graph_ids]
+    y_mask = tree["y_mask"][ib.graph_ids]
+    graph_mask = (ib.graph_ids < g_tot).astype(jnp.float32)
+
+    return GraphBatch(
+        node_x=node_x, edge_attr=edge_attr,
+        edge_src=edge_src.astype(jnp.int32),
+        edge_dst=edge_dst.astype(jnp.int32),
+        node_graph=node_graph.astype(jnp.int32),
+        edge_perm_src=perm,
+        node_mask=node_mask, edge_mask=edge_mask,
+        graph_mask=graph_mask, y=y, y_mask=y_mask,
+        num_nodes=ib.num_nodes, num_edges=ib.num_edges,
+        num_graphs=ib.num_graphs)

@@ -60,6 +60,12 @@ class TrainConfig:
     zero_var: bool = False                   # sample the Gaussian in training
     prng_impl: Optional[str] = None          # e.g. "rbg": ~6ms/step cheaper
                                              # dropout masks on TPU
+    device_data: bool = True                 # dataset resident in HBM;
+                                             # per-step transfer is ~100KB
+                                             # of gather indices (also the
+                                             # workaround for per-transfer
+                                             # host leaks on tunnelled
+                                             # runtimes)
 
 
 class TrainState(dict):
@@ -120,6 +126,8 @@ class Trainer:
         # params are small relative to activations, so the copy is cheap
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._dd: dict = {}          # id(graphs) -> DeviceDataset
+        self._dd_steps: dict = {}    # static_meta -> (train_fn, eval_fn)
 
     # ---- state ----
     def init_state(self, sample_batch: GraphBatch, rng=None):
@@ -229,6 +237,34 @@ class Trainer:
                           jax.random.PRNGKey(0))
         return pred, log_var, loss
 
+    # ---- device-resident data path ----
+    def _get_dd(self, graphs):
+        from ..data.device_dataset import DeviceDataset
+
+        key = id(graphs)
+        if key not in self._dd:
+            self._dd[key] = DeviceDataset(graphs, num_tasks=self.num_tasks)
+        return self._dd[key]
+
+    def _get_dd_steps(self, dd):
+        from ..data.device_dataset import materialize_batch
+
+        meta = dd.static_meta()
+        if meta not in self._dd_steps:
+            def train_fn(state, tree, ib, lr, task_scale, rng):
+                batch = materialize_batch(tree, ib, meta)
+                return self._train_step_impl(state, batch, lr, task_scale,
+                                             rng)
+
+            def eval_fn(params, batch_stats, tree, ib, task_scale):
+                batch = materialize_batch(tree, ib, meta)
+                out = self._eval_step_impl(params, batch_stats, batch,
+                                           task_scale)
+                return out + (batch.y, batch.y_mask)
+
+            self._dd_steps[meta] = (jax.jit(train_fn), jax.jit(eval_fn))
+        return self._dd_steps[meta]
+
     # ---- epoch drivers ----
     def train_epoch(self, state, graphs, task_scale, epoch: int, rng):
         """One epoch. Losses stay on device until one fetch at the end —
@@ -237,6 +273,28 @@ class Trainer:
         lr = jnp.asarray(self.lr_fn(epoch - 1), jnp.float32)
         np_rng = np.random.default_rng(c.seed + epoch)
         losses = []
+        if c.device_data:
+            dd = self._get_dd(graphs)
+            train_fn, _ = self._get_dd_steps(dd)
+            tree = dd.device_tree()
+            for ib in dd.iter_index_batches(c.batch_train, shuffle=True,
+                                            rng=np_rng,
+                                            node_multiple=c.node_multiple,
+                                            edge_multiple=c.edge_multiple):
+                ib = jax.tree_util.tree_map(jnp.asarray, ib)
+                rng, step_rng = jax.random.split(rng)
+                state, loss, ok = train_fn(state, tree, ib, lr, task_scale,
+                                           step_rng)
+                losses.append(loss)
+            vals = (np.asarray(jnp.stack(losses)) if losses
+                    else np.zeros(1))
+            finite = np.isfinite(vals)
+            if int((~finite).sum()):
+                logger.warning("NaN loss in %d batch(es); updates skipped",
+                               int((~finite).sum()))
+            mean_loss = (float(vals[finite].mean()) if finite.any()
+                         else float("nan"))
+            return state, mean_loss, rng
         from ..data.pipeline import PrefetchIterator
 
         it = PrefetchIterator(
@@ -261,6 +319,8 @@ class Trainer:
 
     def evaluate(self, state, graphs, task_scale):
         c = self.cfg
+        if c.device_data:
+            return self._evaluate_dd(state, graphs, task_scale)
         preds_d, losses_d, targets, masks, counts = [], [], [], [], []
         for batch in iter_batches(graphs, c.batch_eval, shuffle=False,
                                   node_multiple=c.node_multiple,
@@ -283,6 +343,38 @@ class Trainer:
         preds = np.concatenate([p[:ng] for p, ng in zip(preds_h, counts)])
         targets = np.concatenate(targets)
         masks = np.concatenate(masks).astype(np.float32)
+        task_metrics = evaluate_predictions(targets, preds, masks,
+                                            list(c.endpoints))
+        avg_loss = float(np.mean(losses)) if losses else float("nan")
+        return avg_loss, task_metrics, preds, targets, masks
+
+    def _evaluate_dd(self, state, graphs, task_scale):
+        c = self.cfg
+        dd = self._get_dd(graphs)
+        _, eval_fn = self._get_dd_steps(dd)
+        tree = dd.device_tree()
+        preds_d, losses_d, ys_d, ms_d, counts = [], [], [], [], []
+        for ib in dd.iter_index_batches(c.batch_eval, shuffle=False,
+                                        node_multiple=c.node_multiple,
+                                        edge_multiple=c.edge_multiple):
+            ng = int(ib.num_graphs)
+            ib = jax.tree_util.tree_map(jnp.asarray, ib)
+            pred, log_var, loss, y, ym = eval_fn(
+                state["params"], state["batch_stats"], tree, ib, task_scale)
+            preds_d.append(pred)
+            losses_d.append(loss)
+            ys_d.append(y)
+            ms_d.append(ym)
+            counts.append(ng)
+        loss_vals = np.asarray(jnp.stack(losses_d))
+        losses = [float(v) for v in loss_vals[np.isfinite(loss_vals)]]
+        preds = np.concatenate([np.asarray(p)[:n]
+                                for p, n in zip(preds_d, counts)])
+        targets = np.concatenate([np.asarray(y)[:n]
+                                  for y, n in zip(ys_d, counts)])
+        masks_np = np.concatenate([np.asarray(m)[:n]
+                                   for m, n in zip(ms_d, counts)])
+        masks = (masks_np * np.isfinite(targets)).astype(np.float32)
         task_metrics = evaluate_predictions(targets, preds, masks,
                                             list(c.endpoints))
         avg_loss = float(np.mean(losses)) if losses else float("nan")
