@@ -36,6 +36,21 @@ class TestFit:
         trainer, state, ds = setup
         res = trainer.fit(state, ds[:6], ds[6:])
         assert len(res["history"]) == 3
+
+    def test_fit_streaming_path(self, setup):
+        """The host-streaming (non device-resident) data path."""
+        import dataclasses
+
+        trainer, state, ds = setup
+        cfg = dataclasses.replace(trainer.cfg, device_data=False)
+        from gt_pyg_tpu.train import Trainer
+
+        t2 = Trainer(trainer.model, cfg)
+        res = t2.fit(t2.init_state(
+            __import__("gt_pyg_tpu.data.loader", fromlist=["iter_batches"])
+            .iter_batches(ds, 4, node_multiple=32,
+                          edge_multiple=64).__next__()), ds[:6], ds[6:])
+        assert len(res["history"]) == 3
         assert res["best"]["state"] is not None
         assert np.isfinite(res["best"]["val_rae"])
         assert "y" in res["per_endpoint_best"]
