@@ -71,6 +71,9 @@ def _featurize(smiles, y, ids=None):
 def cmd_train(args) -> int:
     import numpy as np
 
+    if args.restart_every and not args.segment_end:
+        return _train_segmented(args)
+
     from .data.datasets import shuffle_split, LOG_ENDPOINTS
     from .train import Trainer, TrainConfig
     from .checkpoint import save_model_checkpoint
@@ -210,9 +213,30 @@ def cmd_train(args) -> int:
         callbacks.append(periodic_save)
 
     result = trainer.fit(state, tr_ds, va_ds, callbacks=callbacks,
-                         start_epoch=start_epoch)
+                         start_epoch=start_epoch,
+                         end_epoch=args.segment_end or None)
+    if args.segment_end and args.segment_end < args.epochs:
+        # mid-run segment: persist a resumable checkpoint for the driver
+        from .checkpoint import save_checkpoint
+
+        st = result["state"]
+        save_checkpoint(out / "resume.ckpt",
+                        model_state={"params": st["params"],
+                                     "batch_stats": st["batch_stats"]},
+                        config=model.get_config(),
+                        optimizer_state=st["opt_state"],
+                        epoch=args.segment_end,
+                        extra={"endpoints": list(endpoints)})
+
     best = result["best"]
-    if best["state"] is not None:
+    prior_best = None
+    if (out / "best.ckpt").exists():
+        from .checkpoint import get_checkpoint_info
+
+        prior_best = get_checkpoint_info(out / "best.ckpt").get(
+            "best_metric")
+    if best["state"] is not None and (
+            prior_best is None or best["val_rae"] < prior_best):
         save_model_checkpoint(
             model, best["state"], out / "best.ckpt",
             epoch=best["epoch"], best_metric=best["val_rae"],
@@ -229,6 +253,38 @@ def cmd_train(args) -> int:
         json.dump(result["history"], f, indent=1)
     logger.info("best val RAE %.4f at epoch %d -> %s",
                 best["val_rae"], best["epoch"], out / "best.ckpt")
+    return 0
+
+
+def _train_segmented(args) -> int:
+    """Drive training as subprocess segments of --restart-every epochs,
+    chaining --resume between them."""
+    import subprocess
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    start = 1
+    resume = args.resume
+    if resume:
+        from .checkpoint import get_checkpoint_info
+
+        start = int(get_checkpoint_info(resume).get("epoch", 0)) + 1
+    base = [a for a in sys.argv if a not in ("--resume",)
+            and (not resume or a != resume)]
+    while start <= args.epochs:
+        seg_end = min(start + args.restart_every - 1, args.epochs)
+        cmd = [sys.executable, "-m", "gt_pyg_tpu.cli"] + base[1:] + [
+            "--segment-end", str(seg_end)]
+        if resume:
+            cmd += ["--resume", str(resume)]
+        logger.info("segment epochs %d..%d (of %d)", start, seg_end,
+                    args.epochs)
+        rc = subprocess.call(cmd)
+        if rc != 0:
+            logger.error("segment failed with rc=%d", rc)
+            return rc
+        resume = out / "resume.ckpt"
+        start = seg_end + 1
     return 0
 
 
@@ -351,6 +407,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "state (written by --save-every)")
     t.add_argument("--save-every", type=int, default=0,
                    help="write a resumable checkpoint every N epochs")
+    t.add_argument("--restart-every", type=int, default=0,
+                   help="run epochs in subprocess segments of N, resuming "
+                        "between them (bounds per-process leaks / client "
+                        "degradation on tunnelled runtimes)")
+    t.add_argument("--segment-end", type=int, default=0,
+                   help=argparse.SUPPRESS)
     t.add_argument("--init-from", default=None,
                    help=".ckpt or torch .pt backbone to initialize from")
     t.add_argument("--reinit-heads", action="store_true",

@@ -400,7 +400,8 @@ class Trainer:
     # ---- full fit loop ----
     def fit(self, state, train_graphs, val_graphs,
             callbacks: Optional[List[Callable]] = None,
-            start_epoch: int = 1) -> Dict[str, Any]:
+            start_epoch: int = 1,
+            end_epoch: Optional[int] = None) -> Dict[str, Any]:
         c = self.cfg
         y_tr, m_tr = stack_labels(train_graphs)
         task_scale = jnp.asarray(compute_task_scales(y_tr, m_tr))
@@ -414,7 +415,8 @@ class Trainer:
                        for ep in c.endpoints}
         history: List[Dict[str, Any]] = []
 
-        for epoch in range(start_epoch, c.epochs + 1):
+        last_epoch = min(c.epochs, end_epoch) if end_epoch else c.epochs
+        for epoch in range(start_epoch, last_epoch + 1):
             t0 = time.time()
             state, train_loss, rng = self.train_epoch(
                 state, train_graphs, task_scale, epoch, rng)
