@@ -338,6 +338,16 @@ def cmd_evaluate(args) -> int:
     model, state, extra, _ = _load_for_inference(args.ckpt)
     endpoints = extra.get("endpoints", ["LogD"])
     df = pd.read_csv(args.csv)
+    missing = [e for e in endpoints if e not in df.columns]
+    if missing:
+        from .data.datasets import log_transform_assay_data
+
+        df = log_transform_assay_data(df)
+        still = [e for e in endpoints if e not in df.columns]
+        if still:
+            raise ValueError(f"CSV lacks endpoint columns {still} (even "
+                             f"after assay log transform)")
+        logger.info("applied forward assay log transform for %s", missing)
     graphs = _featurize(df["SMILES"].tolist(),
                         df[endpoints].values.tolist())
     trainer = Trainer(model, TrainConfig(endpoints=tuple(endpoints),

@@ -58,6 +58,26 @@ def inverse_log_transform_assay_data(df):
     return out, reverse
 
 
+def log_transform_assay_data(df):
+    """Forward transform: raw assay columns → log endpoint columns
+    (``Log_name = log10((orig + 1) * multiplier)`` for log-scale assays;
+    LogD passthrough). Inverse of ``inverse_log_transform_assay_data``;
+    used to evaluate predictions against raw-valued test CSVs."""
+    import pandas as pd
+
+    out = df.copy()
+    for assay, (log_scale, mult, log_name) in ASSAY_CONVERSIONS.items():
+        if assay not in df.columns or log_name in df.columns:
+            continue
+        vals = df[assay].astype(float)
+        if log_scale:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[log_name] = np.log10((vals + 1.0) * mult)
+        else:
+            out[log_name] = vals
+    return out
+
+
 def load_admet_csv(path, endpoints: Optional[Sequence[str]] = None):
     """Load an OpenADMET-format CSV → (smiles, y, ids, df).
 

@@ -114,12 +114,15 @@ def masked_weighted_kendall_rank_loss(
         top = jax.lax.top_k(ydiff, k)[1]                   # indices
         sa, sb = a[top], b[top]
         sel_ok = va[top]
-        y_diff = y[sa, t] - y[sb, t]
-        p_diff = pred[sa, t] - pred[sb, t]
+        # NaN labels poison through 0*NaN — zero invalid pairs BEFORE any
+        # arithmetic (missing multi-task labels are NaN by contract)
+        y_diff = jnp.where(sel_ok, y[sa, t] - y[sb, t], 0.0)
+        p_diff = jnp.where(sel_ok, pred[sa, t] - pred[sb, t], 0.0)
         s = jnp.sign(y_diff)
         non_tie = (s != 0) & sel_ok
-        w_pair = 0.5 * (w[sa, t] + w[sb, t]) * non_tie
-        loss_pairs = jax.nn.softplus(-s * p_diff / tau_temp)
+        w_pair = jnp.where(non_tie, 0.5 * (w[sa, t] + w[sb, t]), 0.0)
+        loss_pairs = jnp.where(
+            non_tie, jax.nn.softplus(-s * p_diff / tau_temp), 0.0)
         sw = jnp.maximum((w_pair).sum(), eps)
         return (loss_pairs * w_pair).sum() / sw, non_tie.any()
 

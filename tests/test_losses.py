@@ -209,3 +209,27 @@ class TestTaskScales:
         y = np.array([[1.0], [2.0]])
         m = np.ones((2, 1))
         assert compute_task_scales(y, m)[0] == 1.0
+
+
+class TestMultitaskNaNSafety:
+    """Sparse multi-task labels (NaN for missing) must never poison the
+    composite loss or its gradient — regression for the kendall-pair
+    NaN*0 bug that zeroed a 9-endpoint training run."""
+
+    def test_sparse_multitask_finite(self):
+        rng = np.random.default_rng(0)
+        B, T = 64, 9
+        y = rng.standard_normal((B, T)).astype(np.float32)
+        mask = (rng.random((B, T)) > 0.6).astype(np.float32)
+        y[mask == 0] = np.nan
+        y[:, 4] = np.nan
+        mask[:, 4] = 0
+        pred = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+
+        def f(p):
+            return custom_loss(p, jnp.asarray(y), jnp.asarray(mask),
+                               task_scale=jnp.ones(T),
+                               rng=jax.random.PRNGKey(0))
+
+        assert np.isfinite(float(f(pred)))
+        assert bool(jnp.all(jnp.isfinite(jax.grad(f)(pred))))
