@@ -25,7 +25,7 @@ A100_PYG_EDGE_LAYER_PER_S = 2.0e7
 
 BATCH_GRAPHS = 1024
 NUM_LAYERS = 4
-TIMED_STEPS = 20
+TIMED_STEPS = 100
 
 
 def build_batch():
