@@ -140,16 +140,17 @@ def main():
         val = float(loss)  # forced round trip
         return time.time() - t0, val, params, bstats, opt_state, rng
 
-    # slope timing: per-step = (t(N2) - t(N1)) / (N2 - N1), cancelling the
-    # fixed dispatch + fetch latency of the tunnel
-    n1, n2 = 5, 5 + TIMED_STEPS
+    # tunnel fetch latency is fat-tailed (first post-warmup fetch has been
+    # observed to stall ~100s), so time two long runs and take the faster:
+    # per-step = min(t_i)/N with one amortized fetch each
+    n = TIMED_STEPS
     t_a, loss_val, params, bstats, opt_state, rng = run_steps(
-        n1, params, bstats, opt_state, rng)
-    print(f"# {n1} steps: {t_a:.1f}s", file=sys.stderr, flush=True)
+        n, params, bstats, opt_state, rng)
+    print(f"# run1 {n} steps: {t_a:.1f}s", file=sys.stderr, flush=True)
     t_b, loss_val, params, bstats, opt_state, rng = run_steps(
-        n2, params, bstats, opt_state, rng)
-    print(f"# {n2} steps: {t_b:.1f}s", file=sys.stderr, flush=True)
-    dt = max(t_b - t_a, 1e-9) / (n2 - n1)
+        n, params, bstats, opt_state, rng)
+    print(f"# run2 {n} steps: {t_b:.1f}s", file=sys.stderr, flush=True)
+    dt = min(t_a, t_b) / n
     loss = loss_val
 
     edge_layer_per_s = real_edges * NUM_LAYERS / dt
