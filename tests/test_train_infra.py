@@ -162,6 +162,23 @@ class TestDatasets:
         # KSOL: (10**-4)/1e-6 - 1 = 99.0
         assert out["KSOL"][0] == pytest.approx(99.0)
 
+    def test_forward_log_transform_roundtrips_inverse(self):
+        import pandas as pd
+
+        from gt_pyg_tpu.data.datasets import (
+            inverse_log_transform_assay_data, log_transform_assay_data)
+
+        df = pd.DataFrame({
+            "SMILES": ["C", "CC"], "Molecule Name": ["m1", "m2"],
+            "LogD": [1.5, -0.3], "LogS": [-4.0, -5.2],
+            "Log_HLM_CLint": [1.2, 2.1],
+        })
+        raw, _ = inverse_log_transform_assay_data(df)
+        back = log_transform_assay_data(raw)
+        for col in ("LogD", "LogS", "Log_HLM_CLint"):
+            np.testing.assert_allclose(back[col].values, df[col].values,
+                                       rtol=1e-12)
+
     def test_clip_to_train_range(self):
         from gt_pyg_tpu.data.datasets import clip_to_train_range
 
