@@ -117,7 +117,9 @@ def main():
         return optax.apply_updates(params, updates), nb, no, loss
 
     params, bstats = variables["params"], variables.get("batch_stats", {})
-    rng = jax.random.PRNGKey(0)
+    # rbg keys are the framework default: threefry key derivation measured
+    # ~11 ms/step of the 62.5 ms flagship step on v5e (RESULTS.md)
+    rng = jax.random.key(0, impl="rbg")
 
     # warmup / compile (value fetch forces real completion — on remote
     # backends block_until_ready alone does not)
@@ -171,6 +173,7 @@ def main():
             "loss": loss,
             "device": str((__import__("jax")).devices()[0]),
             "dtype": "bfloat16",
+            "prng": "rbg",
         },
     }
     print(json.dumps(result))

@@ -403,9 +403,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--t-max", type=int, default=500)
     t.add_argument("--demo-loss", action="store_true",
                    help="plain masked MAE (the demo recipe)")
-    t.add_argument("--prng", default=None, choices=[None, "rbg"],
-                   help="PRNG impl for dropout/reparam (rbg is faster on "
-                        "TPU; default threefry)")
+    t.add_argument("--prng", default="rbg",
+                   choices=["rbg", "threefry"],
+                   help="PRNG impl for dropout/reparam (default rbg: "
+                        "~18%% faster step on TPU; threefry reproduces "
+                        "the pre-round-1-final stream)")
     t.add_argument("--seed", type=int, default=1928374650)
     t.add_argument("--split-seed", type=int, default=42)
     t.add_argument("--num-train", type=int, default=None)

@@ -58,8 +58,10 @@ class TrainConfig:
     eval_every: int = 1
     log_every: int = 5
     zero_var: bool = False                   # sample the Gaussian in training
-    prng_impl: Optional[str] = None          # e.g. "rbg": ~6ms/step cheaper
-                                             # dropout masks on TPU
+    prng_impl: Optional[str] = "rbg"         # "rbg" (default): measured
+                                             # 62.5→51.3 ms/step on v5e vs
+                                             # threefry; None/"threefry"
+                                             # reproduces the legacy stream
     device_data: bool = True                 # dataset resident in HBM;
                                              # per-step transfer is ~100KB
                                              # of gather indices (also the
@@ -408,8 +410,12 @@ class Trainer:
         train_mins = np.nanmin(np.where(m_tr > 0, y_tr, np.nan), axis=0)
         train_maxs = np.nanmax(np.where(m_tr > 0, y_tr, np.nan), axis=0)
 
-        rng = (jax.random.key(c.seed, impl=c.prng_impl) if c.prng_impl
-               else jax.random.PRNGKey(c.seed))
+        impl = c.prng_impl
+        if impl in (None, "threefry"):
+            # legacy stream — bit-identical to the recorded round-1 runs
+            rng = jax.random.PRNGKey(c.seed)
+        else:
+            rng = jax.random.key(c.seed, impl=impl)
         best = {"val_rae": float("inf"), "state": None, "epoch": 0}
         per_ep_best = {ep: {"nma": float("inf"), "state": None, "epoch": 0}
                        for ep in c.endpoints}
