@@ -2,7 +2,10 @@
 
 Timing: min of two 100-step runs per variant (tunnel fetch latency is
 fat-tailed — slope methods and single runs are unreliable; see
-RESULTS.md). Run from the repo root: ``python tools/ablate.py``.
+RESULTS.md). Keys use the rbg default (the recorded threefry-keyed
+ablation table in RESULTS.md predates the rbg switch and sits ~11 ms
+higher per full step). Run from the repo root:
+``python tools/ablate.py``.
 """
 
 import sys
@@ -63,7 +66,7 @@ if __name__ == "__main__":
             l, nb = f(p)
             return (jax.tree_util.tree_map(lambda x: x + 0.0*l.astype(x.dtype), p), nb, opt)
         st = (variables["params"], variables.get("batch_stats", {}), opt0)
-        st = step(st, jax.random.PRNGKey(999))
+        st = step(st, jax.random.key(999, impl="rbg"))
         _ = float(jax.tree_util.tree_leaves(st)[0].ravel()[0])
         return step, st
 
@@ -72,7 +75,7 @@ if __name__ == "__main__":
         for _ in range(2):
             t0 = time.time()
             for i in range(n):
-                st = step(st, jax.random.PRNGKey(i))
+                st = step(st, jax.random.key(i, impl="rbg"))
             _ = float(jax.tree_util.tree_leaves(st)[0].ravel()[0])
             dt = (time.time()-t0)/n
             best = dt if best is None else min(best, dt)
