@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """Multi-task 9-endpoint ADMET training + ensemble evaluation (BASELINE
 config 4; the reference's "beardy-polonium" 9-model multi-task ensemble,
-compare_predictions.ipynb).
+compare_predictions.ipynb cell 5).
 
 Trains N multi-task models (different seeds) on all 9 log endpoints with
 y-mask missing-label handling, then ensembles by mean prediction and
-evaluates per endpoint.
+evaluates per endpoint on the validation split and (optionally) the
+held-out test CSV with bootstrap CIs — the reference's ensemble rows are
+test-set MAE (LogD 0.3809±0.0077, KSOL/LogS 0.3460±0.0066).
+
+Members are resumable: ``--start-index K`` trains members K..K+n-1 only
+(seeds stay 1000+i, so a 9-member ensemble can be built across sessions);
+``--eval-only`` loads every existing ``model_*.ckpt`` and just evaluates.
 """
 
 import argparse
@@ -20,52 +26,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 DEFAULT_DATA = "/root/reference/examples/data"
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--data-dir", default=DEFAULT_DATA)
-    p.add_argument("--out", default="runs/mt_ensemble")
-    p.add_argument("--n-models", type=int, default=9)
-    p.add_argument("--epochs", type=int, default=500)
-    p.add_argument("--debug", action="store_true")
-    p.add_argument("--platform", default=None)
-    args = p.parse_args(argv)
-
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
-
-    import jax
-    import pandas as pd
-
-    from gt_pyg_tpu.data.datasets import (
-        load_admet_csv, shuffle_split, LOG_ENDPOINTS)
+def _featurize_sets(args, endpoints, tr_df, va_df):
     from gt_pyg_tpu.data.pipeline import get_tensor_data_parallel
-    from gt_pyg_tpu.data.loader import iter_batches
-    from gt_pyg_tpu.nn import GraphTransformerNet
-    from gt_pyg_tpu.train import Trainer, TrainConfig
-    from gt_pyg_tpu.train.metrics import evaluate_predictions
-    from gt_pyg_tpu.checkpoint import save_model_checkpoint
-
-    train_csv = f"{args.data_dir}/train-set/expansion_log_data_train.csv"
-    df = pd.read_csv(train_csv)
-    endpoints = [c for c in LOG_ENDPOINTS if c in df.columns]
-    tr_df, va_df = shuffle_split(df)
-    if args.debug:
-        tr_df, va_df = tr_df.iloc[:200], va_df.iloc[:100]
-        args.n_models, args.epochs = 2, 10
 
     tr_ds = get_tensor_data_parallel(tr_df["SMILES"].tolist(),
                                      tr_df[endpoints].values.tolist())
     va_ds = get_tensor_data_parallel(va_df["SMILES"].tolist(),
                                      va_df[endpoints].values.tolist())
+    return tr_ds, va_ds
+
+
+def _train_members(args, endpoints, tr_ds, va_ds, out_dir):
+    import jax
+
+    from gt_pyg_tpu.data.loader import iter_batches
+    from gt_pyg_tpu.nn import GraphTransformerNet
+    from gt_pyg_tpu.train import Trainer, TrainConfig
+    from gt_pyg_tpu.checkpoint import save_model_checkpoint
 
     hidden, layers, heads = (64, 2, 4) if args.debug else (128, 4, 8)
-    all_preds = []
-    out_dir = Path(args.out)
-    out_dir.mkdir(parents=True, exist_ok=True)
-
-    for mi in range(args.n_models):
+    for mi in range(args.start_index, args.start_index + args.n_models):
+        ckpt_path = out_dir / f"model_{mi}.ckpt"
+        if ckpt_path.exists() and not args.overwrite:
+            print(f"model {mi}: {ckpt_path} exists, skipping")
+            continue
         model = GraphTransformerNet(
             node_dim_in=140, edge_dim_in=39, hidden_dim=hidden,
             num_gt_layers=layers, num_heads=heads, dropout=0.3, norm="bn",
@@ -87,20 +71,124 @@ def main(argv=None):
         best = result["best"]["state"] or {
             "params": result["state"]["params"],
             "batch_stats": result["state"]["batch_stats"]}
-        save_model_checkpoint(model, best, out_dir / f"model_{mi}.ckpt",
+        save_model_checkpoint(model, best, ckpt_path,
                               best_metric=result["best"]["val_rae"],
                               extra={"endpoints": endpoints})
-        preds = trainer.predict(best, va_ds)
-        all_preds.append(preds)
-        print(f"model {mi}: best val RAE {result['best']['val_rae']:.4f}")
+        print(f"model {mi}: best val RAE {result['best']['val_rae']:.4f}",
+              flush=True)
 
-    ens = np.mean(all_preds, axis=0)
-    y = np.array([g.y[0] for g in va_ds])
-    m = np.array([g.y_mask[0] for g in va_ds])
-    metrics = evaluate_predictions(y, ens, m, endpoints)
-    print(json.dumps(metrics, indent=1, default=float))
+
+def _ensemble_predict(ckpts, graphs, endpoints, batch_eval=1024):
+    """Mean prediction over ensemble members for a featurized set."""
+    from gt_pyg_tpu.checkpoint import load_model_checkpoint
+    from gt_pyg_tpu.train import Trainer, TrainConfig
+
+    all_preds = []
+    for path in ckpts:
+        model, state, _ = load_model_checkpoint(path)
+        trainer = Trainer(model, TrainConfig(endpoints=tuple(endpoints),
+                                             batch_eval=batch_eval))
+        all_preds.append(trainer.predict(
+            {"params": state["params"],
+             "batch_stats": state.get("batch_stats", {})}, graphs))
+    return np.mean(all_preds, axis=0), all_preds
+
+
+def _eval_set(name, preds, graphs, endpoints, n_boot, report):
+    from gt_pyg_tpu.train.metrics import (bootstrap_metrics,
+                                          evaluate_predictions)
+
+    y = np.array([g.y[0] for g in graphs])
+    m = (np.array([g.y_mask[0] for g in graphs])
+         * np.isfinite(y)).astype(bool)
+    metrics = evaluate_predictions(y, preds, m.astype(np.float32),
+                                   endpoints)
+    report[name] = {"metrics": metrics}
+    if n_boot:
+        boot = {}
+        for i, ep in enumerate(endpoints):
+            mask = m[:, i]
+            if mask.sum() < 2:
+                continue
+            boot[ep] = bootstrap_metrics(y[mask, i], preds[mask, i],
+                                         n_boot=n_boot)
+        report[name]["bootstrap"] = boot
+    print(f"== {name} ==")
+    print(json.dumps(metrics.get("Average", metrics), indent=1,
+                     default=float))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-dir", default=DEFAULT_DATA)
+    p.add_argument("--out", default="runs/mt_ensemble")
+    p.add_argument("--n-models", type=int, default=9)
+    p.add_argument("--start-index", type=int, default=0,
+                   help="first member index to train (seeds are 1000+i)")
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training; ensemble all existing model_*.ckpt")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--test-csv", default=None,
+                   help="held-out test CSV (raw assay columns OK) for "
+                        "bootstrap ensemble eval")
+    p.add_argument("--n-boot", type=int, default=1000)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import pandas as pd
+
+    from gt_pyg_tpu.data.datasets import (LOG_ENDPOINTS,
+                                          log_transform_assay_data,
+                                          shuffle_split)
+    from gt_pyg_tpu.data.pipeline import get_tensor_data_parallel
+
+    train_csv = f"{args.data_dir}/train-set/expansion_log_data_train.csv"
+    df = pd.read_csv(train_csv)
+    endpoints = [c for c in LOG_ENDPOINTS if c in df.columns]
+    tr_df, va_df = shuffle_split(df)
+    if args.debug:
+        tr_df, va_df = tr_df.iloc[:200], va_df.iloc[:100]
+        args.n_models, args.epochs = 2, 10
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    tr_ds, va_ds = _featurize_sets(args, endpoints, tr_df, va_df)
+
+    if not args.eval_only:
+        _train_members(args, endpoints, tr_ds, va_ds, out_dir)
+
+    ckpts = sorted(out_dir.glob("model_*.ckpt"),
+                   key=lambda pth: int(pth.stem.split("_")[1]))
+    if not ckpts:
+        print("no member checkpoints found; nothing to ensemble")
+        return 1
+    print(f"ensembling {len(ckpts)} members: "
+          f"{[c.name for c in ckpts]}", flush=True)
+
+    report = {"n_members": len(ckpts),
+              "members": [c.name for c in ckpts]}
+    va_preds, _ = _ensemble_predict(ckpts, va_ds, endpoints)
+    _eval_set("val", va_preds, va_ds, endpoints, args.n_boot, report)
+
+    if args.test_csv:
+        te_df = pd.read_csv(args.test_csv)
+        if any(e not in te_df.columns for e in endpoints):
+            te_df = log_transform_assay_data(te_df)
+        te_ds = get_tensor_data_parallel(
+            te_df["SMILES"].tolist(), te_df[endpoints].values.tolist())
+        te_preds, _ = _ensemble_predict(ckpts, te_ds, endpoints)
+        _eval_set("test", te_preds, te_ds, endpoints, args.n_boot, report)
+
     with open(out_dir / "ensemble_metrics.json", "w") as f:
-        json.dump(metrics, f, indent=1, default=float)
+        json.dump(report, f, indent=1, default=float)
     return 0
 
 

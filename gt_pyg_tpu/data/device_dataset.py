@@ -15,6 +15,11 @@ device from small gather-index arrays (~100 KB/batch):
 
 Per-graph edges are stored destination-sorted, so concatenation by graph
 order preserves the global sorted-by-dst contract of ``pad_graph_batch``.
+
+With ``tile_edges`` set, recipes use the tile-packed layout (see
+:class:`gt_pyg_tpu.data.graph.GraphBatch`): the gather index arrays carry
+per-tile alignment gaps, and padding edges resolve on device to each
+tile's first padding node row.
 """
 
 from __future__ import annotations
@@ -24,7 +29,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .graph import GraphBatch, GraphData, _round_up
+from .graph import (GraphBatch, GraphData, TILE_NODES, _round_up,
+                    plan_tiles)
 
 
 @dataclasses.dataclass
@@ -35,10 +41,18 @@ class IndexBatch:
     node_gather: np.ndarray   # [Np] int32 into flat nodes (N_tot == pad)
     edge_gather: np.ndarray   # [Ep] int32 into flat edges (E_tot == pad)
     graph_ids: np.ndarray     # [Bp] int32 into dataset graphs (G == pad)
-    node_offset: np.ndarray   # [Bp+1] int32 batch-local node offsets
+    node_offset: np.ndarray   # [Bp+1] int32 padded-layout node start of
+                              #   each batch graph (end sentinel == Np)
+    edge_offset: np.ndarray   # [Bp+1] int32 padded-layout edge start
     num_nodes: np.ndarray     # [] int32
     num_edges: np.ndarray     # [] int32
     num_graphs: np.ndarray    # [] int32
+    # static (pytree aux): edge rows per 128-node tile, or None for flat
+    tile_edges: Optional[int] = None
+
+    _ARRAY_FIELDS = ("node_gather", "edge_gather", "graph_ids",
+                     "node_offset", "edge_offset", "num_nodes",
+                     "num_edges", "num_graphs")
 
 
 try:
@@ -46,9 +60,9 @@ try:
 
     jax.tree_util.register_pytree_node(
         IndexBatch,
-        lambda b: (tuple(getattr(b, f.name)
-                         for f in dataclasses.fields(b)), None),
-        lambda aux, vals: IndexBatch(*vals),
+        lambda b: (tuple(getattr(b, f) for f in IndexBatch._ARRAY_FIELDS),
+                   b.tile_edges),
+        lambda aux, vals: IndexBatch(*vals, tile_edges=aux),
     )
 except Exception:  # pragma: no cover
     pass
@@ -108,12 +122,11 @@ class DeviceDataset:
         self.loc_dst = jnp.asarray(loc_dst)
         self.y = jnp.asarray(y)
         self.y_mask = jnp.asarray(y_mask)
-        self.edge_cnt_dev = jnp.asarray(
-            np.concatenate([edge_cnt, np.zeros(1, np.int32)]))
 
     # ---- host side: minibatch recipes ----
     def index_batch(self, graph_ids: Sequence[int], node_pad: int,
                     edge_pad: int, graph_pad: int) -> IndexBatch:
+        """Flat-layout recipe (nodes/edges packed contiguously)."""
         ids = np.asarray(graph_ids, np.int32)
         B = len(ids)
         nn = int(self.node_cnt[ids].sum())
@@ -122,37 +135,84 @@ class DeviceDataset:
             raise ValueError(f"padding too small: {nn}>{node_pad} or "
                              f"{ne}>{edge_pad} or {B}>{graph_pad}")
 
+        starts = [(k, int(self.node_cnt[gi]), int(self.edge_cnt[gi]))
+                  for k, gi in enumerate(ids)]
+        place_n = np.concatenate([[0], np.cumsum(
+            [s[1] for s in starts])]).astype(np.int32)
+        place_e = np.concatenate([[0], np.cumsum(
+            [s[2] for s in starts])]).astype(np.int32)
+        return self._build_recipe(ids, place_n, place_e, node_pad,
+                                  edge_pad, graph_pad, tile_edges=None)
+
+    def index_batch_tiled(self, graph_ids: Sequence[int], tile_edges: int,
+                          graph_pad: int,
+                          tiles_multiple: int = 1) -> IndexBatch:
+        """Tile-packed recipe: next-fit packing of the batch graphs into
+        aligned 128-node / ``tile_edges``-edge tiles."""
+        ids = np.asarray(graph_ids, np.int32)
+        B = len(ids)
+        if B > graph_pad:
+            raise ValueError(f"{B} graphs > graph_pad {graph_pad}")
+        tiles = plan_tiles(self.node_cnt[ids], self.edge_cnt[ids],
+                           tile_edges)
+        n_tiles = max(_round_up(len(tiles), tiles_multiple), tiles_multiple)
+        node_pad = n_tiles * TILE_NODES
+        edge_pad = n_tiles * tile_edges
+
+        place_n = np.full(B + 1, node_pad, np.int32)
+        place_e = np.full(B + 1, edge_pad, np.int32)
+        for t, tile in enumerate(tiles):
+            no, eo = t * TILE_NODES, t * tile_edges
+            for k in tile:
+                place_n[k] = no
+                place_e[k] = eo
+                no += int(self.node_cnt[ids[k]])
+                eo += int(self.edge_cnt[ids[k]])
+        return self._build_recipe(ids, place_n, place_e, node_pad,
+                                  edge_pad, graph_pad,
+                                  tile_edges=tile_edges)
+
+    def _build_recipe(self, ids, place_n, place_e, node_pad, edge_pad,
+                      graph_pad, tile_edges):
+        B = len(ids)
         node_gather = np.full(node_pad, self.n_tot, np.int32)
         edge_gather = np.full(edge_pad, self.e_tot, np.int32)
-        node_offset = np.zeros(graph_pad + 1, np.int32)
-        no = eo = 0
+        node_offset = np.full(graph_pad + 1, node_pad, np.int32)
+        edge_offset = np.full(graph_pad + 1, edge_pad, np.int32)
         for k, gi in enumerate(ids):
-            node_offset[k] = no
             a, b = self.node_off[gi], self.node_off[gi + 1]
-            node_gather[no:no + (b - a)] = np.arange(a, b, dtype=np.int32)
+            node_gather[place_n[k]:place_n[k] + (b - a)] = np.arange(
+                a, b, dtype=np.int32)
             ea, eb = self.edge_off[gi], self.edge_off[gi + 1]
-            edge_gather[eo:eo + (eb - ea)] = np.arange(ea, eb,
-                                                       dtype=np.int32)
-            no += b - a
-            eo += eb - ea
-        node_offset[B:] = no
+            edge_gather[place_e[k]:place_e[k] + (eb - ea)] = np.arange(
+                ea, eb, dtype=np.int32)
+            node_offset[k] = place_n[k]
+            edge_offset[k] = place_e[k]
         gids = np.full(graph_pad, self.num_graphs_total, np.int32)
         gids[:B] = ids
         return IndexBatch(
             node_gather=node_gather, edge_gather=edge_gather,
             graph_ids=gids, node_offset=node_offset,
-            num_nodes=np.int32(nn), num_edges=np.int32(ne),
-            num_graphs=np.int32(B))
+            edge_offset=edge_offset,
+            num_nodes=np.int32(int(self.node_cnt[ids].sum())),
+            num_edges=np.int32(int(self.edge_cnt[ids].sum())),
+            num_graphs=np.int32(B), tile_edges=tile_edges)
 
     def iter_index_batches(self, batch_size: int, shuffle: bool = False,
                            rng: Optional[np.random.Generator] = None,
                            node_multiple: int = 1024,
-                           edge_multiple: int = 2048):
+                           edge_multiple: int = 2048,
+                           tile_edges: Optional[int] = None,
+                           tiles_multiple: int = 8):
         order = np.arange(self.num_graphs_total)
         if shuffle:
             (rng or np.random.default_rng()).shuffle(order)
         for s in range(0, len(order), batch_size):
             ids = order[s:s + batch_size]
+            if tile_edges is not None:
+                yield self.index_batch_tiled(ids, tile_edges, batch_size,
+                                             tiles_multiple=tiles_multiple)
+                continue
             nn = int(self.node_cnt[ids].sum())
             ne = int(self.edge_cnt[ids].sum())
             yield self.index_batch(
@@ -170,7 +230,6 @@ class DeviceDataset:
             "flat_x": self.flat_x, "flat_e": self.flat_e,
             "loc_src": self.loc_src, "loc_dst": self.loc_dst,
             "y": self.y, "y_mask": self.y_mask,
-            "edge_cnt": self.edge_cnt_dev,
         }
 
     def static_meta(self) -> tuple:
@@ -199,26 +258,34 @@ def materialize_batch(tree: dict, ib: IndexBatch, meta: tuple) -> GraphBatch:
     node_mask = (ib.node_gather < n_tot).astype(jnp.float32)
     edge_mask = (ib.edge_gather < e_tot).astype(jnp.float32)
 
-    # batch-local edge indices: local id + the graph's batch node offset;
-    # each edge's batch graph slot via searchsorted on the batch's
-    # cumulative edge counts (edges are laid out per graph in gather
-    # order)
-    ecnt = tree["edge_cnt"][ib.graph_ids]                  # [Bp]
-    e_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                             jnp.cumsum(ecnt).astype(jnp.int32)])
+    # batch graph slot of each node/edge position via the padded-layout
+    # start offsets (gap positions resolve to the previous graph but are
+    # masked out below)
     pos = jnp.arange(edge_pad, dtype=jnp.int32)
-    eslot = jnp.clip(jnp.searchsorted(e_off, pos, side="right") - 1,
-                     0, graph_pad - 1).astype(jnp.int32)   # [Ep]
+    eslot = jnp.clip(jnp.searchsorted(ib.edge_offset[:-1], pos,
+                                      side="right") - 1,
+                     0, graph_pad - 1).astype(jnp.int32)
     off_per_edge = ib.node_offset[eslot]
     loc_s = loc_src_f[ib.edge_gather]
     loc_d = loc_dst_f[ib.edge_gather]
-    edge_src = jnp.where(edge_mask > 0, loc_s + off_per_edge, node_pad)
-    edge_dst = jnp.where(edge_mask > 0, loc_d + off_per_edge, node_pad)
+
+    if ib.tile_edges is not None:
+        # per-tile trash: the tile's first padding node row (keeps dst
+        # sorted and tile-local)
+        n_tiles = node_pad // TILE_NODES
+        fill = node_mask.reshape(n_tiles, TILE_NODES).sum(
+            axis=1).astype(jnp.int32)                      # [n_tiles]
+        tile_of_edge = pos // ib.tile_edges
+        trash = tile_of_edge * TILE_NODES + fill[tile_of_edge]
+    else:
+        trash = node_pad
+    edge_src = jnp.where(edge_mask > 0, loc_s + off_per_edge, trash)
+    edge_dst = jnp.where(edge_mask > 0, loc_d + off_per_edge, trash)
 
     # node -> batch graph slot
     npos = jnp.arange(node_pad, dtype=jnp.int32)
     nslot = jnp.clip(
-        jnp.searchsorted(ib.node_offset, npos, side="right") - 1,
+        jnp.searchsorted(ib.node_offset[:-1], npos, side="right") - 1,
         0, graph_pad - 1).astype(jnp.int32)
     node_graph = jnp.where(node_mask > 0, nslot, graph_pad)
 
@@ -237,4 +304,4 @@ def materialize_batch(tree: dict, ib: IndexBatch, meta: tuple) -> GraphBatch:
         node_mask=node_mask, edge_mask=edge_mask,
         graph_mask=graph_mask, y=y, y_mask=y_mask,
         num_nodes=ib.num_nodes, num_edges=ib.num_edges,
-        num_graphs=ib.num_graphs)
+        num_graphs=ib.num_graphs, tile_edges=ib.tile_edges)

@@ -17,9 +17,14 @@ The batch is a pytree and can be donated to jit-compiled steps directly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
+
+# Node rows per tile in the tile-packed layout (see ``pad_graph_batch``
+# with ``tile_edges`` set). Matches the TPU 128-lane register width and
+# the model's ``max_nodes_per_graph`` contract.
+TILE_NODES = 128
 
 
 @dataclasses.dataclass
@@ -69,9 +74,20 @@ class GraphBatch:
     num_nodes: np.ndarray    # [] int32 — real node count
     num_edges: np.ndarray    # [] int32
     num_graphs: np.ndarray   # [] int32
+    # static layout tag (pytree aux data, not an array): edge rows per
+    # 128-node tile in the tile-packed layout, or None for the flat
+    # layout. Tile-packed batches guarantee, for every tile t:
+    #   * nodes [t*128, (t+1)*128) and edges [t*TE, (t+1)*TE) belong to
+    #     whole graphs (no graph straddles a tile boundary);
+    #   * every edge's src/dst lie inside its own tile's node range;
+    #   * <= 127 real nodes per tile; padding edges point at the tile's
+    #     first padding node row (keeps edge_dst globally sorted).
+    tile_edges: Optional[int] = None
 
-    def tree_flatten(self):
-        return (dataclasses.astuple(self), None)
+    _ARRAY_FIELDS = ("node_x", "edge_attr", "edge_src", "edge_dst",
+                     "node_graph", "edge_perm_src", "node_mask",
+                     "edge_mask", "graph_mask", "y", "y_mask",
+                     "num_nodes", "num_edges", "num_graphs")
 
 
 try:  # register as a JAX pytree when jax is importable
@@ -79,8 +95,9 @@ try:  # register as a JAX pytree when jax is importable
 
     jax.tree_util.register_pytree_node(
         GraphBatch,
-        lambda b: (tuple(getattr(b, f.name) for f in dataclasses.fields(b)), None),
-        lambda aux, vals: GraphBatch(*vals),
+        lambda b: (tuple(getattr(b, f) for f in GraphBatch._ARRAY_FIELDS),
+                   b.tile_edges),
+        lambda aux, vals: GraphBatch(*vals, tile_edges=aux),
     )
 except Exception:  # pragma: no cover
     pass
@@ -95,11 +112,13 @@ def batch_degree_stats(batch: GraphBatch) -> dict:
     per graph. The ELL segment-op fast path (ops/segment.py) silently
     truncates segments beyond its static bound — validate against the
     model's ``max_in_degree`` / ``max_nodes_per_graph`` before training."""
-    ne = int(batch.num_edges)
-    nn = int(batch.num_nodes)
-    dst = np.asarray(batch.edge_dst)[:ne]
-    src = np.asarray(batch.edge_src)[:ne]
-    gid = np.asarray(batch.node_graph)[:nn]
+    emask = np.asarray(batch.edge_mask) > 0
+    nmask = np.asarray(batch.node_mask) > 0
+    ne = int(emask.sum())
+    nn = int(nmask.sum())
+    dst = np.asarray(batch.edge_dst)[emask]
+    src = np.asarray(batch.edge_src)[emask]
+    gid = np.asarray(batch.node_graph)[nmask]
     return {
         "max_in_degree": int(np.bincount(dst).max()) if ne else 0,
         "max_out_degree": int(np.bincount(src).max()) if ne else 0,
@@ -121,6 +140,36 @@ def check_batch_limits(batch: GraphBatch, max_in_degree: int,
             f"max_nodes_per_graph={max_nodes_per_graph}; raise the limit")
 
 
+def plan_tiles(node_counts: Sequence[int], edge_counts: Sequence[int],
+               tile_edges: int,
+               tile_nodes: int = TILE_NODES) -> List[List[int]]:
+    """Next-fit assignment of graphs (in order) to fixed-size tiles.
+
+    Each tile holds whole graphs, at most ``tile_nodes - 1`` real nodes
+    (one row is reserved so padding edges always have an in-tile trash
+    node) and at most ``tile_edges`` edges. Order is preserved, so node
+    and edge arrays stay sorted by graph / destination.
+    """
+    cap = tile_nodes - 1
+    tiles: List[List[int]] = []
+    cur: List[int] = []
+    n = e = 0
+    for gi, (gn, ge) in enumerate(zip(node_counts, edge_counts)):
+        if gn > cap or ge > tile_edges:
+            raise ValueError(
+                f"graph {gi} ({gn} nodes / {ge} edges) exceeds the tile "
+                f"budget ({cap} nodes / {tile_edges} edges)")
+        if cur and (n + gn > cap or e + ge > tile_edges):
+            tiles.append(cur)
+            cur, n, e = [], 0, 0
+        cur.append(gi)
+        n += gn
+        e += ge
+    if cur:
+        tiles.append(cur)
+    return tiles
+
+
 def pad_graph_batch(
     graphs: Sequence[GraphData],
     node_pad: Optional[int] = None,
@@ -130,18 +179,32 @@ def pad_graph_batch(
     edge_multiple: int = 128,
     num_tasks: Optional[int] = None,
     use_native: bool = True,
+    tile_edges: Optional[int] = None,
+    tiles_multiple: int = 1,
 ) -> GraphBatch:
     """Disjoint-union batch with padding to fixed shapes.
 
     With ``node_pad``/``edge_pad``/``graph_pad`` unset, sizes are rounded up
     to ``*_multiple`` (bucketing keeps the number of distinct compiled
     shapes small).
+
+    With ``tile_edges`` set, the batch uses the tile-packed layout
+    (:class:`GraphBatch` docs): graphs are bin-packed into aligned
+    128-node / ``tile_edges``-edge tiles whose edges stay tile-local —
+    the layout contract of the fused Pallas attention kernel
+    (:mod:`gt_pyg_tpu.ops.pallas.gt_tile`). ``node_pad``/``edge_pad``/
+    ``node_multiple``/``edge_multiple`` are ignored in that mode; the
+    tile count is rounded up to ``tiles_multiple``.
     """
     B = len(graphs)
     if B == 0:
         raise ValueError("cannot batch zero graphs")
     F = graphs[0].x.shape[1]
     D = graphs[0].edge_attr.shape[1]
+
+    if tile_edges is not None:
+        return _pad_graph_batch_tiled(graphs, tile_edges, graph_pad,
+                                      num_tasks, tiles_multiple)
 
     tot_nodes = sum(g.num_nodes for g in graphs)
     tot_edges = sum(g.num_edges for g in graphs)
@@ -209,4 +272,88 @@ def pad_graph_batch(
         y=y, y_mask=y_mask,
         num_nodes=np.int32(tot_nodes), num_edges=np.int32(tot_edges),
         num_graphs=np.int32(B),
+    )
+
+
+def _pad_graph_batch_tiled(graphs: Sequence[GraphData], tile_edges: int,
+                           graph_pad: Optional[int],
+                           num_tasks: Optional[int],
+                           tiles_multiple: int) -> GraphBatch:
+    """Tile-packed layout (see ``pad_graph_batch`` / ``GraphBatch``)."""
+    B = len(graphs)
+    NT, TE = TILE_NODES, tile_edges
+    F = graphs[0].x.shape[1]
+    D = graphs[0].edge_attr.shape[1]
+    Bp = graph_pad if graph_pad is not None else B
+    if Bp < B:
+        raise ValueError(f"graph_pad {Bp} < {B} graphs")
+    if graphs[0].y is not None:
+        T = graphs[0].y.shape[1]
+    else:
+        T = num_tasks or 1
+
+    tiles = plan_tiles([g.num_nodes for g in graphs],
+                       [g.num_edges for g in graphs], TE)
+    n_tiles = max(_round_up(len(tiles), tiles_multiple), tiles_multiple)
+    Np, Ep = n_tiles * NT, n_tiles * TE
+
+    node_x = np.zeros((Np, F), dtype=np.float32)
+    edge_attr = np.zeros((Ep, D), dtype=np.float32)
+    # padding edges default to each tile's node base (overwritten below
+    # with base + fill so edge_dst stays globally non-decreasing)
+    tile_base = (np.arange(Ep) // TE * NT).astype(np.int32)
+    edge_src = tile_base.copy()
+    edge_dst = tile_base.copy()
+    node_graph = np.full((Np,), Bp, dtype=np.int32)
+    y = np.zeros((Bp, T), dtype=np.float32)
+    y_mask = np.zeros((Bp, T), dtype=np.float32)
+    node_mask = np.zeros((Np,), dtype=np.float32)
+    edge_mask = np.zeros((Ep,), dtype=np.float32)
+
+    gi_global = 0
+    for t, tile in enumerate(tiles):
+        n_off = t * NT
+        e_off = t * TE
+        for gi in tile:
+            g = graphs[gi]
+            n, e = g.num_nodes, g.num_edges
+            node_x[n_off:n_off + n] = g.x
+            node_graph[n_off:n_off + n] = gi_global
+            node_mask[n_off:n_off + n] = 1.0
+            if e:
+                src = g.edge_index[0].astype(np.int64)
+                dst = g.edge_index[1].astype(np.int64)
+                order = np.argsort(dst, kind="stable")
+                edge_src[e_off:e_off + e] = (src[order] + n_off).astype(
+                    np.int32)
+                edge_dst[e_off:e_off + e] = (dst[order] + n_off).astype(
+                    np.int32)
+                edge_attr[e_off:e_off + e] = g.edge_attr[order]
+                edge_mask[e_off:e_off + e] = 1.0
+            if g.y is not None:
+                y[gi_global] = g.y[0]
+                y_mask[gi_global] = g.y_mask[0]
+            n_off += n
+            e_off += e
+            gi_global += 1
+        # trash slot: first padding node row of this tile (fill < NT by
+        # the <=127 capacity); >= every real dst in the tile and < the
+        # next tile's base, so edge_dst stays sorted
+        fill_n = n_off - t * NT
+        edge_src[e_off:(t + 1) * TE] = t * NT + fill_n
+        edge_dst[e_off:(t + 1) * TE] = t * NT + fill_n
+
+    tot_nodes = int(node_mask.sum())
+    tot_edges = int(edge_mask.sum())
+    graph_mask = (np.arange(Bp) < B).astype(np.float32)
+    edge_perm_src = np.argsort(edge_src, kind="stable").astype(np.int32)
+
+    return GraphBatch(
+        node_x=node_x, edge_attr=edge_attr,
+        edge_src=edge_src, edge_dst=edge_dst,
+        node_graph=node_graph, edge_perm_src=edge_perm_src,
+        node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
+        y=y, y_mask=y_mask,
+        num_nodes=np.int32(tot_nodes), num_edges=np.int32(tot_edges),
+        num_graphs=np.int32(B), tile_edges=TE,
     )
