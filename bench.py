@@ -10,71 +10,104 @@ Prints ONE JSON line:
   {"metric": "edge_layer_throughput_fwdbwd", "value": <edges*layers/s>,
    "unit": "edge-layer/s/chip", "vs_baseline": <value / A100-PyG est.>}
 
-The reference publishes no throughput numbers (SURVEY.md §6); the
-baseline constant below is the upper band of PyG GTConv-style
-gather/scatter models on A100 (~2e7 edge-layer/s), the "5x over A100
-PyG" target's denominator in BASELINE.json.
+Flags: --attn-impl {tile,lax} selects the fused per-tile Pallas kernel
+(tile-packed batch layout) vs the XLA reference path; --batch-graphs
+sets the batch size; --sweep "1024,2048" measures several batch sizes
+and reports the best. The JSON detail includes the model-FLOPs estimate
+and MFU against the v5e bf16 peak.
+
+Baseline denominator: the reference publishes no throughput numbers
+(SURVEY.md §6), so the denominator is an ESTIMATE of PyG GTConv-style
+gather/scatter models on A100: ~2e7 edge-layer/s. Derivation: this
+model costs ~5.8e8 FLOPs per molecule fwd+bwd (measured analytic count
+below, ~9.3e6 FLOPs/edge-layer); PyG scatter-bound models typically
+reach 3-8% MFU on A100 (312 TFLOP/s bf16 peak) => 312e12 * 0.06 /
+9.3e6 / ... ~= 2e6-2e7 graphs-equivalent; the 2e7 edge-layer/s figure
+takes the optimistic top of that band. It is an estimate, not a
+measurement — MFU is reported alongside as the absolute metric.
 """
 
+import argparse
 import functools
 import json
 import sys
 import time
 
 A100_PYG_EDGE_LAYER_PER_S = 2.0e7
+V5E_BF16_PEAK_FLOPS = 1.97e14
 
-BATCH_GRAPHS = 1024
 NUM_LAYERS = 4
 TIMED_STEPS = 100
 
 
-def build_batch():
+def model_flops_fwd(npad, ep, bp, hidden=128, a_gt=2, a_pool=4,
+                    num_layers=NUM_LAYERS, node_in=140, edge_in=39,
+                    tasks=1):
+    """Analytic dense-matmul FLOPs of one forward pass (MACs * 2).
+
+    Counts the Linear layers only (the attention core's elementwise ops
+    and pooling/readout are minor)."""
+    ffn_n = max(hidden, 4 * hidden)
+    ffn_e = max(hidden, 2 * hidden)
+    per_layer_node = (4 * hidden * hidden              # Q K V gate
+                      + a_gt * hidden * hidden         # WO
+                      + hidden * ffn_n + ffn_n * ffn_n
+                      + ffn_n * hidden)                # node FFN
+    per_layer_edge = (hidden * hidden                  # WE_value
+                      + 2 * hidden * 8                 # WE_logits, e_gate
+                      + hidden * hidden                # WOe
+                      + hidden * ffn_e + ffn_e * ffn_e
+                      + ffn_e * hidden)                # edge FFN
+    emb = npad * node_in * hidden + ep * edge_in * hidden
+    head = bp * (a_pool * hidden) * hidden * 2         # mu + log_var
+    total_macs = (emb + head
+                  + num_layers * (npad * per_layer_node
+                                  + ep * per_layer_edge))
+    return 2 * total_macs
+
+
+def build_batch(batch_graphs, tile_edges):
     from gt_pyg_tpu.data import get_tensor_data, pad_graph_batch
 
     csv = ("/root/reference/examples/data/train-set/"
            "expansion_log_data_train.csv")
-    smiles = None
     try:
         import pandas as pd
 
         df = pd.read_csv(csv)
-        smiles = df["SMILES"].tolist()[:BATCH_GRAPHS]
-        y = df[["LogD"]].values.tolist()[:BATCH_GRAPHS]
+        smiles = df["SMILES"].tolist()
+        y = df[["LogD"]].values.tolist()
+        if batch_graphs > len(smiles):
+            mult = batch_graphs // len(smiles) + 1
+            smiles, y = smiles * mult, y * mult
+        smiles, y = smiles[:batch_graphs], y[:batch_graphs]
     except Exception:
         base = ["CCO", "c1ccccc1", "CC(=O)Nc1ccc(O)cc1",
                 "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "c1ccc2ccccc2c1",
                 "CCN(CC)CC", "C1CCCCC1", "c1ccncc1"]
-        smiles = (base * (BATCH_GRAPHS // len(base) + 1))[:BATCH_GRAPHS]
+        smiles = (base * (batch_graphs // len(base) + 1))[:batch_graphs]
         y = [[1.0]] * len(smiles)
 
     graphs = get_tensor_data(smiles, y, progress=False)
-    batch = pad_graph_batch(graphs, node_multiple=1024, edge_multiple=2048,
-                            graph_pad=BATCH_GRAPHS)
-    return batch
+    if tile_edges:
+        return pad_graph_batch(graphs, tile_edges=tile_edges,
+                               graph_pad=batch_graphs)
+    return pad_graph_batch(graphs, node_multiple=1024, edge_multiple=2048,
+                           graph_pad=batch_graphs)
 
 
-def main():
+def measure(args, batch_graphs):
     import jax
     import jax.numpy as jnp
     import optax
 
-    # NOTE: jax persistent compilation cache is intentionally NOT enabled
-    # here — it stalls under the axon remote-compile path.
-    # Expose the cpu backend next to the accelerator so un-jitted
-    # model.init runs on the host (seconds instead of minutes of remote
-    # op-by-op dispatch).
-    try:
-        cur = jax.config.jax_platforms or ""
-        if cur and "cpu" not in cur:
-            jax.config.update("jax_platforms", cur + ",cpu")
-    except Exception:
-        pass
-
     from gt_pyg_tpu.nn import GraphTransformerNet
     from gt_pyg_tpu.train.losses import custom_loss
+    from gt_pyg_tpu.train.trainer import init_on_host
 
     t_setup = time.time()
-    batch = build_batch()
+    tile_edges = args.tile_edges if args.attn_impl == "tile" else None
+    batch = build_batch(batch_graphs, tile_edges)
     real_edges = int(batch.num_edges)
 
     model = GraphTransformerNet(
@@ -82,10 +115,9 @@ def main():
         num_gt_layers=NUM_LAYERS, num_heads=8, dropout=0.3, norm="bn",
         gate=True, gt_aggregators=("sum", "mean"),
         aggregators=("sum", "mean", "max", "std"),
+        attn_impl=args.attn_impl if args.attn_impl != "lax" else "lax",
         dtype=jnp.bfloat16,
     )
-    from gt_pyg_tpu.train.trainer import init_on_host
-
     variables = init_on_host(model, batch, jax.random.PRNGKey(0))
     jb = jax.tree_util.tree_map(jnp.asarray, batch)
     tx = optax.chain(optax.clip_by_global_norm(5.0),
@@ -121,17 +153,15 @@ def main():
     # ~11 ms/step of the 62.5 ms flagship step on v5e (RESULTS.md)
     rng = jax.random.key(0, impl="rbg")
 
-    # warmup / compile (value fetch forces real completion — on remote
-    # backends block_until_ready alone does not)
-    print(f"# setup {time.time()-t_setup:.1f}s; compiling...",
+    print(f"# [{args.attn_impl} b={batch_graphs}] setup "
+          f"{time.time()-t_setup:.1f}s; compiling...",
           file=sys.stderr, flush=True)
+    t_c = time.time()
     params, bstats, opt_state, loss = train_step(params, bstats, opt_state,
                                                  jb, rng)
-    t_c0 = time.time()
     loss_val = float(loss)
-    t_compile = time.time() - t_setup
-    print(f"# compile+first {t_compile:.1f}s (first fetch "
-          f"{time.time()-t_c0:.1f}s)", file=sys.stderr, flush=True)
+    t_compile = time.time() - t_c
+    print(f"# compile+first {t_compile:.1f}s", file=sys.stderr, flush=True)
 
     def run_steps(n, params, bstats, opt_state, rng):
         t0 = time.time()
@@ -142,10 +172,8 @@ def main():
         val = float(loss)  # forced round trip
         return time.time() - t0, val, params, bstats, opt_state, rng
 
-    # tunnel fetch latency is fat-tailed (first post-warmup fetch has been
-    # observed to stall ~100s), so time two long runs and take the faster:
-    # per-step = min(t_i)/N with one amortized fetch each
-    n = TIMED_STEPS
+    # tunnel fetch latency is fat-tailed; time two long runs, take faster
+    n = args.steps
     t_a, loss_val, params, bstats, opt_state, rng = run_steps(
         n, params, bstats, opt_state, rng)
     print(f"# run1 {n} steps: {t_a:.1f}s", file=sys.stderr, flush=True)
@@ -153,27 +181,77 @@ def main():
         n, params, bstats, opt_state, rng)
     print(f"# run2 {n} steps: {t_b:.1f}s", file=sys.stderr, flush=True)
     dt = min(t_a, t_b) / n
-    loss = loss_val
 
-    edge_layer_per_s = real_edges * NUM_LAYERS / dt
+    npad = int(batch.node_x.shape[0])
+    ep = int(batch.edge_attr.shape[0])
+    flops_step = 3 * model_flops_fwd(npad, ep, batch_graphs)
+    return {
+        "attn_impl": args.attn_impl,
+        "batch_graphs": batch_graphs,
+        "real_edges": real_edges,
+        "real_nodes": int(batch.num_nodes),
+        "padded_nodes": npad,
+        "padded_edges": ep,
+        "tile_edges": tile_edges,
+        "step_time_ms": round(dt * 1000, 2),
+        "edge_layer_per_s": real_edges * NUM_LAYERS / dt,
+        "flops_per_step_est": flops_step,
+        "mfu_vs_v5e_bf16_peak": round(
+            flops_step / dt / V5E_BF16_PEAK_FLOPS, 4),
+        "compile_s": round(t_compile, 1),
+        "loss": loss_val,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--attn-impl", default="tile",
+                   choices=["tile", "lax", "pallas"])
+    p.add_argument("--batch-graphs", type=int, default=2048)
+    p.add_argument("--tile-edges", type=int, default=384)
+    p.add_argument("--steps", type=int, default=TIMED_STEPS)
+    p.add_argument("--sweep", default=None,
+                   help="comma-separated batch sizes; report the best")
+    args = p.parse_args()
+
+    import jax
+
+    # NOTE: jax persistent compilation cache is intentionally NOT enabled
+    # here — it stalls under the axon remote-compile path.
+    # Expose the cpu backend next to the accelerator so un-jitted
+    # model.init runs on the host (seconds instead of minutes of remote
+    # op-by-op dispatch).
+    try:
+        cur = jax.config.jax_platforms or ""
+        if cur and "cpu" not in cur:
+            jax.config.update("jax_platforms", cur + ",cpu")
+    except Exception:
+        pass
+
+    sizes = ([int(s) for s in args.sweep.split(",")] if args.sweep
+             else [args.batch_graphs])
+    runs = [measure(args, b) for b in sizes]
+    best = max(runs, key=lambda r: r["edge_layer_per_s"])
+
     result = {
         "metric": "edge_layer_throughput_fwdbwd",
-        "value": round(edge_layer_per_s, 1),
+        "value": round(best["edge_layer_per_s"], 1),
         "unit": "edge-layer/s/chip",
-        "vs_baseline": round(edge_layer_per_s / A100_PYG_EDGE_LAYER_PER_S, 3),
+        "vs_baseline": round(
+            best["edge_layer_per_s"] / A100_PYG_EDGE_LAYER_PER_S, 3),
         "detail": {
-            "batch_graphs": BATCH_GRAPHS,
-            "real_edges": real_edges,
-            "real_nodes": int(batch.num_nodes),
-            "padded_nodes": int(batch.node_x.shape[0]),
-            "padded_edges": int(batch.edge_attr.shape[0]),
+            **best,
             "num_gt_layers": NUM_LAYERS,
-            "step_time_ms": round(dt * 1000, 2),
-            "compile_s": round(t_compile, 1),
-            "loss": loss,
-            "device": str((__import__("jax")).devices()[0]),
+            "device": str(jax.devices()[0]),
             "dtype": "bfloat16",
             "prng": "rbg",
+            "baseline_note": ("A100-PyG denominator 2e7 edge-layer/s is "
+                              "an estimate (see bench.py header); MFU is "
+                              "the absolute metric"),
+            "sweep": ([{k: r[k] for k in ("batch_graphs", "step_time_ms",
+                                          "edge_layer_per_s",
+                                          "mfu_vs_v5e_bf16_peak")}
+                       for r in runs] if len(runs) > 1 else None),
         },
     }
     print(json.dumps(result))

@@ -37,7 +37,13 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-gate", action="store_true")
     p.add_argument("--gt-aggregators", default="sum,mean")
     p.add_argument("--aggregators", default="sum,mean,max,std")
-    p.add_argument("--attn-impl", default="lax", choices=["lax", "pallas"])
+    p.add_argument("--attn-impl", default="tile",
+                   choices=["tile", "lax", "pallas"],
+                   help="'tile': fused per-tile Pallas kernel on "
+                        "tile-packed batches (default); 'lax': XLA "
+                        "reference path; 'pallas': v1 chunked kernel")
+    p.add_argument("--tile-edges", type=int, default=384,
+                   help="edge rows per 128-node tile (tile impl only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params)")
 
@@ -142,6 +148,8 @@ def cmd_train(args) -> int:
         loss=("mae" if args.demo_loss else "composite"),
         seed=args.seed, log_every=args.log_every,
         prng_impl=args.prng,
+        tile_edges=(args.tile_edges if args.attn_impl == "tile"
+                    else None),
     )
     trainer = Trainer(model, cfg)
 
@@ -150,7 +158,9 @@ def cmd_train(args) -> int:
     sample = next(iter_batches(tr_ds, cfg.batch_train,
                                node_multiple=cfg.node_multiple,
                                edge_multiple=cfg.edge_multiple,
-                               num_tasks=len(endpoints)))
+                               num_tasks=len(endpoints),
+                               tile_edges=cfg.tile_edges,
+                               tiles_multiple=cfg.tiles_multiple))
     start_epoch = 1
     if args.resume:
         state, start_epoch = trainer.restore_state(sample, args.resume)

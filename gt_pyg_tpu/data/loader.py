@@ -24,12 +24,16 @@ def iter_batches(
     edge_multiple: int = 2048,
     num_tasks: Optional[int] = None,
     drop_last: bool = False,
+    tile_edges: Optional[int] = None,
+    tiles_multiple: int = 8,
 ) -> Iterator[GraphBatch]:
     """Yield padded :class:`GraphBatch` chunks of ``batch_size`` graphs.
 
     Every batch is padded to ``batch_size`` graphs (the last one included)
     so the graph dimension is a single compiled shape; node/edge dims are
-    bucketed to the given multiples.
+    bucketed to the given multiples. With ``tile_edges`` set, batches use
+    the tile-packed layout (fused-kernel contract) with the tile count
+    bucketed to ``tiles_multiple``.
     """
     order = np.arange(len(graphs))
     if shuffle:
@@ -39,6 +43,12 @@ def iter_batches(
         if drop_last and len(idx) < batch_size:
             return
         chunk = [graphs[i] for i in idx]
+        if tile_edges is not None:
+            yield pad_graph_batch(chunk, tile_edges=tile_edges,
+                                  tiles_multiple=tiles_multiple,
+                                  graph_pad=batch_size,
+                                  num_tasks=num_tasks)
+            continue
         yield pad_graph_batch(
             chunk,
             node_multiple=node_multiple,

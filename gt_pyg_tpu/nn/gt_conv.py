@@ -73,6 +73,7 @@ class GTConv(nn.Module):
         edge_mask: Optional[jnp.ndarray] = None,
         edge_perm_src: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        tile_edges: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         self._validate()
         if self.edge_in_dim is not None and edge_attr is None:
@@ -124,6 +125,7 @@ class GTConv(nn.Module):
             max_in_degree=self.max_in_degree,
             impl=self.attn_impl,
             edge_perm_src=edge_perm_src,
+            tile_edges=tile_edges,
         )                               # [Np, hidden * A], [h][a][d] layout
 
         drop = lambda name: nn.Dropout(rate=self.dropout, name=name)

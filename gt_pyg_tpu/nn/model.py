@@ -167,7 +167,8 @@ class GraphTransformerNet(nn.Module):
             )(h, batch.edge_src, batch.edge_dst, e,
               node_mask=node_mask, edge_mask=edge_mask,
               edge_perm_src=getattr(batch, "edge_perm_src", None),
-              deterministic=deterministic)
+              deterministic=deterministic,
+              tile_edges=getattr(batch, "tile_edges", None))
             h = h * node_mask[:, None]
             if e is not None:
                 e = e * edge_mask[:, None]

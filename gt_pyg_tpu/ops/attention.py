@@ -74,14 +74,39 @@ def gt_attention(
     max_in_degree: int = 16,
     impl: str = "lax",
     edge_perm_src: Optional[jnp.ndarray] = None,  # [Ep] src-sort perm
+    tile_edges: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Returns (node_out [Np, hidden * A] in reference [h][a][d] layout,
     eij [Ep, hidden] or None).
 
     Padding edges must target the trash node slot ``Np`` (an extra
     segment that is computed and discarded), and padding sources the
-    trash row of the node arrays.
+    trash row of the node arrays — except in the tile-packed layout
+    (``tile_edges`` set), where they target their own tile's first
+    padding row.
+
+    ``impl``: "lax" (XLA reference path), "tile" (fused per-tile Pallas
+    kernel — requires a tile-packed batch; falls back to lax for
+    aggregators beyond sum/mean), "pallas" (the v1 chunked kernel), or
+    "auto" (tile when the batch is tile-packed, else lax).
     """
+    if impl == "auto":
+        impl = "tile" if tile_edges is not None else "lax"
+    if impl == "tile":
+        from .pallas.gt_tile import gt_attention_tile
+
+        if tile_edges is None:
+            raise ValueError(
+                "attn_impl='tile' requires a tile-packed batch "
+                "(pad_graph_batch(..., tile_edges=...))")
+        supported = all(a in ("sum", "add", "mean") for a in aggregators)
+        if supported:
+            return gt_attention_tile(
+                q, k, v, edge_src, edge_dst, num_heads, tile_edges,
+                e_bias, e_val, gate_n, e_gate_logits, aggregators,
+                dropout_rate, dropout_rng,
+            )
+        impl = "lax"  # fall through
     if impl == "pallas":
         from .pallas.gt_attention import gt_attention_pallas
 

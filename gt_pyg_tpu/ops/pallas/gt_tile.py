@@ -1,0 +1,512 @@
+"""Fused per-tile Pallas kernel for GTConv message passing (v2).
+
+Replaces the whole gather → SDDMM → segment-softmax → SpMM pipeline of
+:func:`gt_pyg_tpu.ops.attention.gt_attention` (the role of PyG's
+``MessagePassing.propagate`` + ``torch_geometric.utils.softmax`` at
+reference ``gt_pyg/nn/gt_conv.py:306-393``) with ONE kernel launch per
+direction, exploiting the tile-packed batch layout
+(:func:`gt_pyg_tpu.data.graph.pad_graph_batch` with ``tile_edges``):
+
+* graphs are bin-packed into aligned tiles of ``NT = 128`` node rows and
+  ``TE`` edge rows, and **edges never leave their tile** — so every
+  gather/scatter in the attention block becomes a small MXU matmul
+  against a one-hot tile-local indicator matrix, entirely in VMEM:
+
+      gather  x[dst]   ->  S_dst[TE, NT] @ x_tile[NT, hidden]
+      scatter sum_dst  ->  S_dst^T contraction (dot_general over the
+                           edge axis) — no XLA scatter anywhere
+
+* all edges of a destination node live in one tile, so the segment
+  softmax completes in a single pass (no flash-style running max);
+
+* the backward has the same structure (its scatters are indicator
+  contractions too), so the VJP is a second fused kernel and the train
+  step contains **no** XLA scatter/gather on the attention path.
+
+Per-head reductions/broadcasts run as matmuls against the constant
+head-indicator matrix — the ``[rows, hidden]`` 2-D layout is kept
+throughout (a ``[*, H, Dh]`` layout with Dh=16 would pad its minor dim
+to the 128-lane tile).
+
+Supported aggregators: ``sum``/``add``/``mean``. Math invariants match
+the lax path exactly (SURVEY.md §3.2): value-add-before-gate, per-head
+logit bias + sigmoid logit gate, softmax over incoming edges with the
+PyG 1e-16 denominator epsilon, attention dropout on alpha, and the
+pre-softmax QK ⊙ E_val edge output. (The raw-vs-normed edge-state
+asymmetry is resolved by the caller, which passes both projections.)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...data.graph import TILE_NODES as NT
+
+_SOFTMAX_EPS = 1e-16
+_NEG_INF = -1e30
+_F32 = jnp.float32
+
+
+def _head_indicator(num_heads: int, dh: int) -> np.ndarray:
+    """S [hidden, H]: x @ S sums each head's Dh block; a @ S.T broadcasts
+    per-head scalars across the head's lanes."""
+    return np.kron(np.eye(num_heads, dtype=np.float32),
+                   np.ones((dh, 1), np.float32))
+
+
+def _should_interpret() -> bool:
+    import os
+
+    if os.environ.get("GT_TPU_FORCE_INTERPRET", "0") == "1":
+        return True
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
+
+
+# All dots pin HIGHEST precision: for f32 operands the MXU otherwise
+# truncates to one bf16 pass (measured ~3e-2 relative gradient error vs
+# the lax path on v5e); for bf16 operands HIGHEST is a no-op.
+def _dot(a, b):
+    return jax.lax.dot(a, b, preferred_element_type=_F32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _dot_t(a, b):
+    """Contract over the (leading) edge axis: a [E, N], b [E, F] ->
+    [N, F]. The TPU-native scatter: an MXU matmul with lhs-transposed
+    dimension numbers instead of an XLA scatter."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=_F32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _dot_rt(a, b):
+    """a [E, N], b [H, N] -> [E, H] (contract both minor axes)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _segment_max_t(sd_b, logits, heads):
+    """Exact per-(node, head) max over member edges.
+
+    sd_b [TE, NT] bool membership, logits [TE, H] f32. Returns
+    node_max_T [H, NT] with empty segments forced to 0 (static head
+    loop — a [NT, TE, H] broadcast would pad H to 128 lanes)."""
+    maxes = []
+    for h in range(heads):
+        lh = jnp.where(sd_b, logits[:, h:h + 1], _NEG_INF)   # [TE, NT]
+        maxes.append(jnp.max(lh, axis=0, keepdims=True))     # [1, NT]
+    node_max_t = jnp.concatenate(maxes, axis=0)              # [H, NT]
+    return jnp.where(node_max_t > _NEG_INF / 2, node_max_t, 0.0)
+
+
+# cfg tuple: (heads, dh, te, aggs, has_gate, has_edge)
+def _fwd_body(cfg, refs):
+    heads, dh, te, aggs, has_gate, has_edge = cfg
+    scale = 1.0 / math.sqrt(dh)
+    i = iter(refs)
+    q_ref, k_ref, v_ref = next(i), next(i), next(i)
+    gate_ref = next(i) if has_gate else None
+    if has_edge:
+        e_bias_ref, e_val_ref = next(i), next(i)
+        e_gate_ref = next(i) if has_gate else None
+    keep_ref, src_ref, dst_ref = next(i), next(i), next(i)
+    s_head_ref = next(i)
+    out_ref = next(i)
+    eij_ref = next(i) if has_edge else None
+
+    base = pl.program_id(0) * NT
+    sl = src_ref[:] - base                          # [TE, 1] tile-local
+    dl = dst_ref[:] - base
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
+    ss_b = sl == iota                               # [TE, NT]
+    sd_b = dl == iota
+    dtype = q_ref.dtype
+    ss_d, sd_d = ss_b.astype(dtype), sd_b.astype(dtype)
+    sd_f = sd_b.astype(_F32)
+
+    q_e = _dot(sd_d, q_ref[:])                      # [TE, hidden] f32
+    k_e = _dot(ss_d, k_ref[:])
+    v_e = _dot(ss_d, v_ref[:])
+
+    prod = q_e * k_e * scale
+    S = s_head_ref[:]                               # [hidden, H] f32
+    logits = _dot(prod, S)                          # [TE, H]
+
+    if has_edge:
+        e_val = e_val_ref[:].astype(_F32)
+        eij_ref[:] = (prod * e_val).astype(eij_ref.dtype)
+        logits = logits + e_bias_ref[:].astype(_F32)
+        v_msg = v_e + e_val
+    else:
+        v_msg = v_e
+    if has_gate:
+        v_msg = v_msg * jax.nn.sigmoid(_dot(ss_d, gate_ref[:]))
+        if has_edge:
+            logits = logits * jax.nn.sigmoid(e_gate_ref[:].astype(_F32))
+
+    node_max_t = _segment_max_t(sd_b, logits, heads)      # [H, NT]
+    p = jnp.exp(logits - _dot_rt(sd_f, node_max_t))       # [TE, H]
+    denom = _dot_t(sd_f, p)                               # [NT, H]
+    alpha = p / (_dot(sd_f, denom) + _SOFTMAX_EPS)
+    alpha = alpha * keep_ref[:].astype(_F32)
+
+    msg = _dot(alpha, S.T) * v_msg                        # [TE, hidden]
+    sum_out = _dot_t(sd_f, msg)                           # [NT, hidden]
+
+    outs = []
+    deg = None
+    for a in aggs:
+        if a == "sum":
+            outs.append(sum_out)
+        elif a == "mean":
+            if deg is None:
+                ones = jnp.ones((te, 1), _F32)
+                deg = jnp.maximum(_dot_t(sd_f, ones), 1.0)  # [NT, 1]
+            outs.append(sum_out / deg)
+    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _bwd_body(cfg, refs):
+    heads, dh, te, aggs, has_gate, has_edge = cfg
+    scale = 1.0 / math.sqrt(dh)
+    hidden = heads * dh
+    i = iter(refs)
+    q_ref, k_ref, v_ref = next(i), next(i), next(i)
+    gate_ref = next(i) if has_gate else None
+    if has_edge:
+        e_bias_ref, e_val_ref = next(i), next(i)
+        e_gate_ref = next(i) if has_gate else None
+    keep_ref, src_ref, dst_ref = next(i), next(i), next(i)
+    s_head_ref = next(i)
+    g_out_ref = next(i)
+    g_eij_ref = next(i) if has_edge else None
+    dq_ref, dk_ref, dv_ref = next(i), next(i), next(i)
+    dgate_ref = next(i) if has_gate else None
+    if has_edge:
+        de_bias_ref, de_val_ref = next(i), next(i)
+        de_gate_ref = next(i) if has_gate else None
+
+    base = pl.program_id(0) * NT
+    sl = src_ref[:] - base
+    dl = dst_ref[:] - base
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
+    ss_b = sl == iota
+    sd_b = dl == iota
+    dtype = q_ref.dtype
+    ss_d, sd_d = ss_b.astype(dtype), sd_b.astype(dtype)
+    ss_f, sd_f = ss_b.astype(_F32), sd_b.astype(_F32)
+    S = s_head_ref[:]
+
+    # ---- recompute forward intermediates (all in VMEM)
+    q_e = _dot(sd_d, q_ref[:])
+    k_e = _dot(ss_d, k_ref[:])
+    v_e = _dot(ss_d, v_ref[:])
+    prod = q_e * k_e * scale
+    logits = _dot(prod, S)
+    if has_edge:
+        e_val = e_val_ref[:].astype(_F32)
+        logits_pre = logits + e_bias_ref[:].astype(_F32)
+        v_base = v_e + e_val
+    else:
+        logits_pre = logits
+        v_base = v_e
+    if has_gate:
+        sig_g = jax.nn.sigmoid(_dot(ss_d, gate_ref[:]))
+        v_msg = v_base * sig_g
+        if has_edge:
+            sig_eg = jax.nn.sigmoid(e_gate_ref[:].astype(_F32))
+            logits_fin = logits_pre * sig_eg
+        else:
+            logits_fin = logits_pre
+    else:
+        v_msg = v_base
+        logits_fin = logits_pre
+
+    node_max_t = _segment_max_t(sd_b, logits_fin, heads)
+    p = jnp.exp(logits_fin - _dot_rt(sd_f, node_max_t))
+    denom = _dot_t(sd_f, p)
+    alpha_raw = p / (_dot(sd_f, denom) + _SOFTMAX_EPS)
+    keep = keep_ref[:].astype(_F32)
+    alpha = alpha_raw * keep
+    alpha_full = _dot(alpha, S.T)                         # [TE, hidden]
+
+    # ---- reverse
+    # fold aggregator cotangents into one per-node message gradient
+    g_node = jnp.zeros((NT, hidden), _F32)
+    deg = None
+    off = 0
+    for a in aggs:
+        piece = g_out_ref[:, off:off + hidden].astype(_F32)
+        if a == "sum":
+            g_node = g_node + piece
+        elif a == "mean":
+            if deg is None:
+                ones = jnp.ones((te, 1), _F32)
+                deg = jnp.maximum(_dot_t(sd_f, ones), 1.0)
+            g_node = g_node + piece / deg
+        off += hidden
+
+    g_msg = _dot(sd_f, g_node)                            # [TE, hidden]
+    g_alpha_full = g_msg * v_msg
+    g_v_msg = alpha_full * g_msg
+
+    g_alpha = _dot(g_alpha_full, S)                       # [TE, H]
+    g_alpha_raw = g_alpha * keep
+    # softmax VJP within segments: a * (g - sum_seg(a * g))
+    t_e = alpha_raw * g_alpha_raw
+    t_n = _dot_t(sd_f, t_e)                               # [NT, H]
+    g_logits = alpha_raw * (g_alpha_raw - _dot(sd_f, t_n))
+
+    if has_gate and has_edge:
+        g_logits_pre = g_logits * sig_eg
+        de_gate_ref[:] = (g_logits * logits_pre * sig_eg
+                          * (1.0 - sig_eg)).astype(de_gate_ref.dtype)
+    else:
+        g_logits_pre = g_logits
+    if has_edge:
+        de_bias_ref[:] = g_logits_pre.astype(de_bias_ref.dtype)
+
+    g_prod = _dot(g_logits_pre, S.T)                      # [TE, hidden]
+    if has_edge:
+        g_eij = g_eij_ref[:].astype(_F32)
+        g_prod = g_prod + g_eij * e_val
+        g_e_val = g_eij * prod
+    if has_gate:
+        g_v_base = g_v_msg * sig_g
+        g_gate_e = g_v_msg * v_base * sig_g * (1.0 - sig_g)
+        dgate_ref[:] = _dot_t(ss_f, g_gate_e).astype(dgate_ref.dtype)
+    else:
+        g_v_base = g_v_msg
+    if has_edge:
+        de_val_ref[:] = (g_e_val + g_v_base).astype(de_val_ref.dtype)
+
+    g_q_e = g_prod * k_e * scale
+    g_k_e = g_prod * q_e * scale
+
+    dq_ref[:] = _dot_t(sd_f, g_q_e).astype(dq_ref.dtype)
+    dk_ref[:] = _dot_t(ss_f, g_k_e).astype(dk_ref.dtype)
+    dv_ref[:] = _dot_t(ss_f, g_v_base).astype(dv_ref.dtype)
+
+
+def _edge_block(te, width):
+    return pl.BlockSpec((te, width), lambda t: (t, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _node_block(width):
+    return pl.BlockSpec((NT, width), lambda t: (t, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _collect_inputs(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep,
+                    src, dst):
+    heads, dh, te, aggs, has_gate, has_edge = cfg
+    hidden = heads * dh
+    arrays = [q, k, v]
+    specs = [_node_block(hidden)] * 3
+    if has_gate:
+        arrays.append(gate_n)
+        specs.append(_node_block(hidden))
+    if has_edge:
+        arrays += [e_bias, e_val]
+        specs += [_edge_block(te, heads), _edge_block(te, hidden)]
+        if has_gate:
+            arrays.append(e_gate)
+            specs.append(_edge_block(te, heads))
+    arrays += [keep, src.reshape(-1, 1), dst.reshape(-1, 1),
+               jnp.asarray(_head_indicator(heads, dh))]
+    specs += [_edge_block(te, heads), _edge_block(te, 1),
+              _edge_block(te, 1),
+              pl.BlockSpec((hidden, heads), lambda t: (0, 0),
+                           memory_space=pltpu.VMEM)]
+    return arrays, specs
+
+
+def _cost(cfg, npad, ep, n_big_matmuls):
+    heads, dh, te, aggs, has_gate, has_edge = cfg
+    hidden = heads * dh
+    n_tiles = npad // NT
+    per_tile = n_big_matmuls * 2 * te * NT * hidden
+    return pl.CostEstimate(
+        flops=n_tiles * per_tile,
+        bytes_accessed=(npad * hidden * 4 * 4 + ep * hidden * 4 * 2),
+        transcendentals=n_tiles * te * heads,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tile_core(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep, src,
+               dst):
+    """Fused forward. Returns (out [Np, hidden*A] aggregator-major,
+    eij [Ep, hidden] or a 0-element placeholder). Inactive optional args
+    are 1-element dummies (cfg flags gate which ones reach the kernel)."""
+    heads, dh, te, aggs, has_gate, has_edge = cfg
+    hidden = heads * dh
+    npad, ep = q.shape[0], src.shape[0]
+    n_tiles = npad // NT
+
+    arrays, in_specs = _collect_inputs(cfg, q, k, v, gate_n, e_bias,
+                                       e_val, e_gate, keep, src, dst)
+    out_shapes = [jax.ShapeDtypeStruct((npad, hidden * len(aggs)),
+                                       q.dtype)]
+    out_specs = [_node_block(hidden * len(aggs))]
+    if has_edge:
+        out_shapes.append(jax.ShapeDtypeStruct((ep, hidden), q.dtype))
+        out_specs.append(_edge_block(te, hidden))
+
+    res = pl.pallas_call(
+        functools.partial(lambda c, *refs: _fwd_body(c, refs), cfg),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=_cost(cfg, npad, ep, 6 + has_gate),
+        interpret=_should_interpret(),
+    )(*arrays)
+    out = res[0]
+    eij = res[1] if has_edge else jnp.zeros((0,), q.dtype)
+    return out, eij
+
+
+def _tile_core_fwd(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep,
+                   src, dst):
+    out = _tile_core(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep,
+                     src, dst)
+    return out, (q, k, v, gate_n, e_bias, e_val, e_gate, keep, src, dst)
+
+
+def _tile_core_bwd(cfg, residuals, cotangents):
+    heads, dh, te, aggs, has_gate, has_edge = cfg
+    hidden = heads * dh
+    q, k, v, gate_n, e_bias, e_val, e_gate, keep, src, dst = residuals
+    g_out, g_eij = cotangents
+    npad, ep = q.shape[0], src.shape[0]
+    n_tiles = npad // NT
+
+    arrays, in_specs = _collect_inputs(cfg, q, k, v, gate_n, e_bias,
+                                       e_val, e_gate, keep, src, dst)
+    arrays.append(g_out.astype(q.dtype))
+    in_specs.append(_node_block(hidden * len(aggs)))
+    if has_edge:
+        arrays.append(g_eij.astype(q.dtype))
+        in_specs.append(_edge_block(te, hidden))
+
+    out_shapes = [jax.ShapeDtypeStruct((npad, hidden), q.dtype)] * 3
+    out_specs = [_node_block(hidden)] * 3
+    if has_gate:
+        out_shapes.append(jax.ShapeDtypeStruct((npad, hidden), q.dtype))
+        out_specs.append(_node_block(hidden))
+    if has_edge:
+        out_shapes += [
+            jax.ShapeDtypeStruct((ep, heads), jnp.float32),
+            jax.ShapeDtypeStruct((ep, hidden), q.dtype),
+        ]
+        out_specs += [_edge_block(te, heads), _edge_block(te, hidden)]
+        if has_gate:
+            out_shapes.append(jax.ShapeDtypeStruct((ep, heads),
+                                                   jnp.float32))
+            out_specs.append(_edge_block(te, heads))
+
+    res = pl.pallas_call(
+        functools.partial(lambda c, *refs: _bwd_body(c, refs), cfg),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=_cost(cfg, npad, ep, 12 + 2 * has_gate),
+        interpret=_should_interpret(),
+    )(*arrays)
+
+    i = iter(res)
+    dq, dk, dv = next(i), next(i), next(i)
+    dgate = next(i) if has_gate else jnp.zeros_like(gate_n)
+    if has_edge:
+        de_bias = next(i).astype(e_bias.dtype)
+        de_val = next(i)
+        de_gate = (next(i).astype(e_gate.dtype) if has_gate
+                   else jnp.zeros_like(e_gate))
+    else:
+        de_bias = jnp.zeros_like(e_bias)
+        de_val = jnp.zeros_like(e_val)
+        de_gate = jnp.zeros_like(e_gate)
+    return (dq, dk, dv, dgate, de_bias, de_val, de_gate,
+            jnp.zeros_like(keep), jnp.zeros_like(src),
+            jnp.zeros_like(dst))
+
+
+_tile_core.defvjp(_tile_core_fwd, _tile_core_bwd)
+
+
+def gt_attention_tile(
+    q: jnp.ndarray,              # [Np, hidden]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    edge_src: jnp.ndarray,       # [Ep] int32, tile-packed layout
+    edge_dst: jnp.ndarray,       # [Ep] int32, tile-packed layout
+    num_heads: int,
+    tile_edges: int,
+    e_bias: Optional[jnp.ndarray] = None,        # [Ep, H]
+    e_val: Optional[jnp.ndarray] = None,         # [Ep, hidden]
+    gate_n: Optional[jnp.ndarray] = None,        # [Np, hidden]
+    e_gate_logits: Optional[jnp.ndarray] = None,  # [Ep, H]
+    aggregators: Sequence[str] = ("sum",),
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Tile-fused gt_attention (same contract as the lax path; requires
+    a tile-packed batch). Returns (node_out [Np, hidden*A] in reference
+    [h][a][d] layout, eij [Ep, hidden] or None)."""
+    from ..attention import interleave_perm
+
+    npad, hidden = q.shape
+    ep = edge_src.shape[0]
+    if npad % NT != 0 or ep % tile_edges != 0 \
+            or npad // NT != ep // tile_edges:
+        raise ValueError(
+            f"batch is not tile-packed for tile_edges={tile_edges}: "
+            f"Np={npad}, Ep={ep}")
+    aggs = tuple("sum" if a == "add" else a for a in aggregators)
+    unsupported = [a for a in aggs if a not in ("sum", "mean")]
+    if unsupported:
+        raise NotImplementedError(
+            f"gt_attention_tile supports sum/mean aggregators, got "
+            f"{unsupported}")
+
+    heads = num_heads
+    dh = hidden // heads
+    has_gate = gate_n is not None
+    has_edge = e_val is not None
+    cfg = (heads, dh, int(tile_edges), aggs, has_gate, has_edge)
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate,
+            (ep, heads)).astype(jnp.float32) / (1.0 - dropout_rate)
+    else:
+        keep = jnp.ones((ep, heads), jnp.float32)
+
+    dummy = jnp.zeros((1,), q.dtype)
+    out, eij = _tile_core(
+        cfg, q, k, v,
+        gate_n if has_gate else dummy,
+        e_bias if has_edge else dummy,
+        e_val if has_edge else dummy,
+        (e_gate_logits if (has_edge and has_gate) else dummy),
+        keep, edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32))
+
+    if len(aggs) > 1:
+        out = out[:, interleave_perm(heads, dh, len(aggs))]
+    return out, (eij if has_edge else None)

@@ -58,6 +58,10 @@ class TrainConfig:
     eval_every: int = 1
     log_every: int = 5
     zero_var: bool = False                   # sample the Gaussian in training
+    tile_edges: Optional[int] = None         # tile-packed batches (fused
+                                             # Pallas kernel contract);
+                                             # set with attn_impl="tile"
+    tiles_multiple: int = 8                  # tile-count bucketing
     prng_impl: Optional[str] = "rbg"         # "rbg" (default): measured
                                              # 62.5→51.3 ms/step on v5e vs
                                              # threefry; None/"threefry"
@@ -282,7 +286,9 @@ class Trainer:
             for ib in dd.iter_index_batches(c.batch_train, shuffle=True,
                                             rng=np_rng,
                                             node_multiple=c.node_multiple,
-                                            edge_multiple=c.edge_multiple):
+                                            edge_multiple=c.edge_multiple,
+                                            tile_edges=c.tile_edges,
+                                            tiles_multiple=c.tiles_multiple):
                 ib = jax.tree_util.tree_map(jnp.asarray, ib)
                 rng, step_rng = jax.random.split(rng)
                 state, loss, ok = train_fn(state, tree, ib, lr, task_scale,
@@ -303,7 +309,9 @@ class Trainer:
             iter_batches(graphs, c.batch_train, shuffle=True, rng=np_rng,
                          node_multiple=c.node_multiple,
                          edge_multiple=c.edge_multiple,
-                         num_tasks=self.num_tasks))
+                         num_tasks=self.num_tasks,
+                         tile_edges=c.tile_edges,
+                         tiles_multiple=c.tiles_multiple))
         for batch in it:
             batch = jax.tree_util.tree_map(jnp.asarray, batch)
             rng, step_rng = jax.random.split(rng)
@@ -327,7 +335,9 @@ class Trainer:
         for batch in iter_batches(graphs, c.batch_eval, shuffle=False,
                                   node_multiple=c.node_multiple,
                                   edge_multiple=c.edge_multiple,
-                                  num_tasks=self.num_tasks):
+                                  num_tasks=self.num_tasks,
+                                  tile_edges=c.tile_edges,
+                                  tiles_multiple=c.tiles_multiple):
             ng = int(batch.num_graphs)
             jb = jax.tree_util.tree_map(jnp.asarray, batch)
             pred, log_var, loss = self._eval_step(
@@ -358,7 +368,9 @@ class Trainer:
         preds_d, losses_d, ys_d, ms_d, counts = [], [], [], [], []
         for ib in dd.iter_index_batches(c.batch_eval, shuffle=False,
                                         node_multiple=c.node_multiple,
-                                        edge_multiple=c.edge_multiple):
+                                        edge_multiple=c.edge_multiple,
+                                        tile_edges=c.tile_edges,
+                                        tiles_multiple=c.tiles_multiple):
             ng = int(ib.num_graphs)
             ib = jax.tree_util.tree_map(jnp.asarray, ib)
             pred, log_var, loss, y, ym = eval_fn(
@@ -390,7 +402,9 @@ class Trainer:
         for batch in iter_batches(graphs, c.batch_eval, shuffle=False,
                                   node_multiple=c.node_multiple,
                                   edge_multiple=c.edge_multiple,
-                                  num_tasks=self.num_tasks):
+                                  num_tasks=self.num_tasks,
+                                  tile_edges=c.tile_edges,
+                                  tiles_multiple=c.tiles_multiple):
             ng = int(batch.num_graphs)
             jb = jax.tree_util.tree_map(jnp.asarray, batch)
             pred, _, _ = self._eval_step(state["params"],

@@ -1,0 +1,171 @@
+"""Fused per-tile Pallas attention kernel (ops/pallas/gt_tile.py) vs the
+lax reference path — forward and gradients, on tile-packed batches
+(interpret mode on CPU; hardware numbers are recorded via bench.py
+--attn-impl tile)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gt_pyg_tpu.data import get_tensor_data, pad_graph_batch
+from gt_pyg_tpu.ops.attention import gt_attention
+
+TE = 96
+
+
+@pytest.fixture(scope="module")
+def tiled_batch():
+    graphs = get_tensor_data(
+        ["CCO", "c1ccccc1", "CC(=O)O", "C", "CCN",
+         "CC(=O)Nc1ccc(O)cc1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+         "c1ccc2ccccc2c1", "CCOC(=O)c1ccccc1", "CNC"],
+        [[float(i)] for i in range(10)], progress=False)
+    return pad_graph_batch(graphs, tile_edges=TE, tiles_multiple=2)
+
+
+def _inputs(batch, hidden=32, heads=4, gate=True, edge=True, seed=0):
+    rng = np.random.default_rng(seed)
+    npad = batch.node_x.shape[0]
+    ep = batch.edge_attr.shape[0]
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    kw = dict(
+        q=f(npad, hidden), k=f(npad, hidden), v=f(npad, hidden),
+        edge_src=jnp.asarray(batch.edge_src),
+        edge_dst=jnp.asarray(batch.edge_dst),
+        num_heads=heads,
+    )
+    if edge:
+        kw["e_bias"] = f(ep, heads)
+        kw["e_val"] = f(ep, hidden)
+    if gate:
+        kw["gate_n"] = f(npad, hidden)
+        if edge:
+            kw["e_gate_logits"] = f(ep, heads)
+    return kw
+
+
+CONFIGS = [
+    dict(gate=True, edge=True, aggs=("sum", "mean")),
+    dict(gate=False, edge=True, aggs=("sum",)),
+    dict(gate=True, edge=False, aggs=("mean",)),
+    dict(gate=False, edge=False, aggs=("sum", "mean")),
+]
+
+
+class TestTileKernelForward:
+    @pytest.mark.parametrize("cfg", CONFIGS)
+    def test_matches_lax(self, tiled_batch, cfg):
+        kw = _inputs(tiled_batch, gate=cfg["gate"], edge=cfg["edge"])
+        out_l, eij_l = gt_attention(**kw, aggregators=cfg["aggs"],
+                                    impl="lax")
+        out_t, eij_t = gt_attention(**kw, aggregators=cfg["aggs"],
+                                    impl="tile", tile_edges=TE)
+        nmask = np.asarray(tiled_batch.node_mask) > 0
+        np.testing.assert_allclose(np.asarray(out_t)[nmask],
+                                   np.asarray(out_l)[nmask],
+                                   rtol=2e-5, atol=2e-5)
+        if cfg["edge"]:
+            emask = np.asarray(tiled_batch.edge_mask) > 0
+            np.testing.assert_allclose(np.asarray(eij_t)[emask],
+                                       np.asarray(eij_l)[emask],
+                                       rtol=2e-5, atol=2e-5)
+        else:
+            assert eij_t is None
+
+    def test_auto_impl_selects_tile(self, tiled_batch):
+        kw = _inputs(tiled_batch)
+        out_a, _ = gt_attention(**kw, aggregators=("sum",), impl="auto",
+                                tile_edges=TE)
+        out_t, _ = gt_attention(**kw, aggregators=("sum",), impl="tile",
+                                tile_edges=TE)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_t))
+
+    def test_requires_tiled_batch(self, tiled_batch):
+        kw = _inputs(tiled_batch)
+        with pytest.raises(ValueError, match="tile-packed"):
+            gt_attention(**kw, aggregators=("sum",), impl="tile",
+                         tile_edges=TE + 32)
+
+    def test_unsupported_aggregator_falls_back(self, tiled_batch):
+        kw = _inputs(tiled_batch)
+        out_t, _ = gt_attention(**kw, aggregators=("sum", "max"),
+                                impl="tile", tile_edges=TE)
+        out_l, _ = gt_attention(**kw, aggregators=("sum", "max"),
+                                impl="lax")
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_l),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestTileKernelGrad:
+    @pytest.mark.parametrize("cfg", CONFIGS[:2])
+    def test_grads_match_lax(self, tiled_batch, cfg):
+        kw = _inputs(tiled_batch, gate=cfg["gate"], edge=cfg["edge"])
+        nmask = jnp.asarray(tiled_batch.node_mask)
+        emask = jnp.asarray(tiled_batch.edge_mask)
+        diff_keys = [kn for kn in ("q", "k", "v", "gate_n", "e_bias",
+                                   "e_val", "e_gate_logits") if kn in kw]
+
+        def loss(diff, impl):
+            full = dict(kw)
+            full.update(diff)
+            out, eij = gt_attention(**full, aggregators=cfg["aggs"],
+                                    impl=impl,
+                                    tile_edges=TE if impl == "tile"
+                                    else None)
+            val = jnp.sum((out * nmask[:, None]) ** 2)
+            if eij is not None:
+                val = val + jnp.sum((eij * emask[:, None]) ** 2)
+            return val
+
+        diff = {kn: kw[kn] for kn in diff_keys}
+        g_l = jax.grad(lambda d: loss(d, "lax"))(diff)
+        g_t = jax.grad(lambda d: loss(d, "tile"))(diff)
+        for kn in diff_keys:
+            np.testing.assert_allclose(
+                np.asarray(g_t[kn]), np.asarray(g_l[kn]),
+                rtol=5e-4, atol=5e-4, err_msg=kn)
+
+    def test_dropout_deterministic_given_key(self, tiled_batch):
+        kw = _inputs(tiled_batch)
+        key = jax.random.PRNGKey(7)
+        a1, _ = gt_attention(**kw, aggregators=("sum",), impl="tile",
+                             tile_edges=TE, dropout_rate=0.5,
+                             dropout_rng=key)
+        a2, _ = gt_attention(**kw, aggregators=("sum",), impl="tile",
+                             tile_edges=TE, dropout_rate=0.5,
+                             dropout_rng=key)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        # and it matches the lax path with the same key (same mask shape)
+        a3, _ = gt_attention(**kw, aggregators=("sum",), impl="lax",
+                             dropout_rate=0.5, dropout_rng=key)
+        nmask = np.asarray(tiled_batch.node_mask) > 0
+        np.testing.assert_allclose(np.asarray(a1)[nmask],
+                                   np.asarray(a3)[nmask],
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestModelWithTileKernel:
+    def test_model_forward_matches_lax(self, tiled_batch):
+        from gt_pyg_tpu.nn import GraphTransformerNet
+
+        kwargs = dict(
+            node_dim_in=140, edge_dim_in=39, hidden_dim=32,
+            num_gt_layers=2, num_heads=4, dropout=0.0, norm="bn",
+            gate=True, gt_aggregators=("sum", "mean"),
+            aggregators=("sum", "mean", "max", "std"))
+        jb = jax.tree_util.tree_map(jnp.asarray, tiled_batch)
+        m_lax = GraphTransformerNet(**kwargs, attn_impl="lax")
+        m_til = GraphTransformerNet(**kwargs, attn_impl="tile")
+        variables = m_lax.init({"params": jax.random.PRNGKey(0)}, jb,
+                               deterministic=True)
+        p_l, lv_l = m_lax.apply(variables, jb, deterministic=True)
+        p_t, lv_t = m_til.apply(variables, jb, deterministic=True)
+        n = int(tiled_batch.num_graphs)
+        np.testing.assert_allclose(np.asarray(p_t)[:n],
+                                   np.asarray(p_l)[:n],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lv_t)[:n],
+                                   np.asarray(lv_l)[:n],
+                                   rtol=1e-4, atol=1e-4)
