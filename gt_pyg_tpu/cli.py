@@ -48,7 +48,24 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute (fp32 params)")
 
 
-def _build_model(args, num_tasks: int):
+def _parse_mesh(spec) -> int:
+    """--mesh accepts N, data=N, or 'auto' (all visible devices)."""
+    if spec is None:
+        return 1
+    if spec == "auto":
+        import jax
+
+        return len(jax.devices())
+    if "=" in spec:
+        axis, _, n = spec.partition("=")
+        if axis != "data":
+            raise ValueError(f"only the 'data' mesh axis is supported "
+                             f"by gt-tpu train, got {axis!r}")
+        return int(n)
+    return int(spec)
+
+
+def _build_model(args, num_tasks: int, bn_axis_name=None):
     import jax.numpy as jnp
 
     from .nn import GraphTransformerNet
@@ -64,6 +81,7 @@ def _build_model(args, num_tasks: int):
         gt_aggregators=tuple(args.gt_aggregators.split(",")),
         aggregators=tuple(args.aggregators.split(",")),
         num_tasks=num_tasks, attn_impl=args.attn_impl,
+        bn_axis_name=bn_axis_name,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
@@ -119,7 +137,10 @@ def cmd_train(args) -> int:
             args.aggregators = ",".join(cfg_saved["aggregators"])
             logger.info("adopted backbone config from %s", args.init_from)
 
-    model = _build_model(args, num_tasks=len(endpoints))
+    mesh_n = _parse_mesh(args.mesh)
+    model = _build_model(args, num_tasks=len(endpoints),
+                         bn_axis_name=("data" if mesh_n > 1
+                                       and args.norm == "bn" else None))
 
     if args.init_from and not args.init_from.endswith(".pt"):
         from .checkpoint import get_checkpoint_info
@@ -150,6 +171,7 @@ def cmd_train(args) -> int:
         prng_impl=args.prng,
         tile_edges=(args.tile_edges if args.attn_impl == "tile"
                     else None),
+        mesh_devices=mesh_n,
     )
     trainer = Trainer(model, cfg)
 
@@ -420,6 +442,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the pre-round-1-final stream)")
     t.add_argument("--seed", type=int, default=1928374650)
     t.add_argument("--split-seed", type=int, default=42)
+    t.add_argument("--mesh", default=None,
+                   help="data-parallel replicas: N, data=N, or 'auto' "
+                        "(all visible devices); shard_map + psum over a "
+                        "('data',) mesh with cross-replica BatchNorm")
     t.add_argument("--num-train", type=int, default=None)
     t.add_argument("--num-val", type=int, default=None)
     t.add_argument("--log-every", type=int, default=5)

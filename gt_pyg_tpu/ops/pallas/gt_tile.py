@@ -73,12 +73,19 @@ def _should_interpret() -> bool:
         return True
 
 
-# All dots pin HIGHEST precision: for f32 operands the MXU otherwise
-# truncates to one bf16 pass (measured ~3e-2 relative gradient error vs
-# the lax path on v5e); for bf16 operands HIGHEST is a no-op.
+# f32 dots pin HIGHEST precision: the MXU otherwise truncates f32
+# operands to one bf16 pass (measured ~3e-2 relative gradient error vs
+# the lax path on v5e). bf16 operands must use DEFAULT — Mosaic rejects
+# an fp32-precision matmul on bf16 vectors ("Bad lhs type").
+def _prec(a, b):
+    if a.dtype == _F32 and b.dtype == _F32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def _dot(a, b):
     return jax.lax.dot(a, b, preferred_element_type=_F32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_prec(a, b))
 
 
 def _dot_t(a, b):
@@ -87,14 +94,14 @@ def _dot_t(a, b):
     dimension numbers instead of an XLA scatter."""
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=_F32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_prec(a, b))
 
 
 def _dot_rt(a, b):
     """a [E, N], b [H, N] -> [E, H] (contract both minor axes)."""
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_prec(a, b))
 
 
 def _segment_max_t(sd_b, logits, heads):

@@ -10,6 +10,7 @@ from .mesh import (  # noqa: F401
 from .data_parallel import (  # noqa: F401
     make_dp_train_step,
     make_dp_eval_step,
+    make_stacked_shards,
     shard_graphs,
     stack_shards,
 )
@@ -23,4 +24,5 @@ from .edge_partition import (  # noqa: F401
     edge_partition_spec,
     shard_flat_batch,
     make_edge_partitioned_apply,
+    make_edge_partitioned_train_step,
 )

@@ -44,6 +44,48 @@ def shard_graphs(graphs, num_shards: int, shard_batch_size: int,
     return stack_shards(shards)
 
 
+def make_stacked_shards(graphs, num_shards: int, shard_batch_size: int,
+                        num_tasks: int,
+                        node_multiple: int = 1024,
+                        edge_multiple: int = 2048,
+                        tile_edges=None,
+                        tiles_multiple: int = 8) -> GraphBatch:
+    """Round-robin shard a global minibatch into ``num_shards`` padded
+    sub-batches with COMMON shapes (max over shards, bucketed) and stack
+    them [D, ...] for shard_map. Supports the tile-packed layout."""
+    from ..data.graph import _round_up, plan_tiles
+
+    chunks = []
+    for d in range(num_shards):
+        chunk = list(graphs[d::num_shards])[:shard_batch_size]
+        if not chunk:
+            chunk = [graphs[0]]
+        chunks.append(chunk)
+
+    shards = []
+    if tile_edges is not None:
+        n_tiles = max(
+            len(plan_tiles([g.num_nodes for g in c],
+                           [g.num_edges for g in c], tile_edges))
+            for c in chunks)
+        n_tiles = max(_round_up(n_tiles, tiles_multiple), tiles_multiple)
+        for c in chunks:
+            shards.append(pad_graph_batch(
+                c, tile_edges=tile_edges, tiles_multiple=n_tiles,
+                graph_pad=shard_batch_size, num_tasks=num_tasks))
+    else:
+        nn = max(sum(g.num_nodes for g in c) for c in chunks)
+        ne = max(sum(g.num_edges for g in c) for c in chunks)
+        node_pad = max(_round_up(nn, node_multiple), node_multiple)
+        edge_pad = max(_round_up(ne, edge_multiple), edge_multiple)
+        for c in chunks:
+            shards.append(pad_graph_batch(
+                c, node_pad=node_pad, edge_pad=edge_pad,
+                graph_pad=shard_batch_size, num_tasks=num_tasks,
+                use_native=False))
+    return stack_shards(shards)
+
+
 def make_dp_train_step(
     model,
     tx,
@@ -51,6 +93,7 @@ def make_dp_train_step(
     mesh: Mesh,
     axis: str = "data",
     zero_var: bool = False,
+    tile_edges=None,
 ):
     """Build a pjit-compiled data-parallel train step.
 
@@ -97,8 +140,8 @@ def make_dp_train_step(
         return sel(new_params, params), sel(new_bstats, batch_stats), \
             sel(new_opt, opt_state), loss
 
-    batch_spec = jax.tree_util.tree_map(lambda _: P(axis),
-                                        _graphbatch_structure())
+    batch_spec = jax.tree_util.tree_map(
+        lambda _: P(axis), _graphbatch_structure(tile_edges))
     smapped = shard_map(
         per_device_step, mesh=mesh,
         in_specs=(P(), P(), P(), batch_spec, P(), P(), P()),
@@ -107,18 +150,22 @@ def make_dp_train_step(
     return jax.jit(smapped)
 
 
-def _graphbatch_structure():
-    """A GraphBatch-shaped pytree of placeholders (for building specs)."""
+def _graphbatch_structure(tile_edges=None):
+    """A GraphBatch-shaped pytree of placeholders (for building specs).
+    ``tile_edges`` must match the batches' static aux tag so the spec
+    tree's structure equals the input tree's."""
     z = np.zeros((1,), np.float32)
     zi = np.int32(0)
     return GraphBatch(
         node_x=z, edge_attr=z, edge_src=z, edge_dst=z, node_graph=z,
         edge_perm_src=z,
         node_mask=z, edge_mask=z, graph_mask=z, y=z, y_mask=z,
-        num_nodes=zi, num_edges=zi, num_graphs=zi)
+        num_nodes=zi, num_edges=zi, num_graphs=zi,
+        tile_edges=tile_edges)
 
 
-def make_dp_eval_step(model, mesh: Mesh, axis: str = "data"):
+def make_dp_eval_step(model, mesh: Mesh, axis: str = "data",
+                      tile_edges=None):
     """Data-parallel deterministic forward: returns stacked per-device
     (pred, log_var)."""
 
@@ -128,8 +175,8 @@ def make_dp_eval_step(model, mesh: Mesh, axis: str = "data"):
         pred, log_var = model.apply(variables, batch, deterministic=True)
         return pred[None], log_var[None]
 
-    batch_spec = jax.tree_util.tree_map(lambda _: P(axis),
-                                        _graphbatch_structure())
+    batch_spec = jax.tree_util.tree_map(
+        lambda _: P(axis), _graphbatch_structure(tile_edges))
     smapped = shard_map(per_device, mesh=mesh,
                         in_specs=(P(), P(), batch_spec),
                         out_specs=(P(axis), P(axis)))

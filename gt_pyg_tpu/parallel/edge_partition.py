@@ -70,3 +70,58 @@ def make_edge_partitioned_apply(model, mesh: Mesh, axis: str = "data",
     out_shardings = NamedSharding(mesh, P())
     return jax.jit(fwd, in_shardings=in_shardings,
                    out_shardings=out_shardings)
+
+
+def make_edge_partitioned_train_step(model, tx, loss_fn, mesh: Mesh,
+                                     axis: str = "data",
+                                     zero_var: bool = False):
+    """Full training step (loss + backward + optimizer) over an
+    edge-partitioned batch.
+
+    The step body is the plain single-device program; only the argument
+    shardings differ — GSPMD propagates the node/edge partitioning
+    through the gathers and segment reductions (fwd AND bwd) and inserts
+    the all-to-all/psum collectives. Gradient equality vs single-device
+    therefore holds up to float reassociation and is asserted in
+    ``tests/test_edge_partition_train.py``.
+
+    ``loss_fn(pred, y, mask, task_scale, rng) -> scalar``. Returns a
+    jitted ``step(params, batch_stats, opt_state, batch, lr, task_scale,
+    rng) -> (params, batch_stats, opt_state, loss)`` with replicated
+    state in/out and NaN-loss skip semantics.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    def step(params, batch_stats, opt_state, batch: GraphBatch, lr,
+             task_scale, rng):
+        rng_drop, rng_rep, rng_loss = jax.random.split(rng, 3)
+
+        def f(p):
+            variables = {"params": p, "batch_stats": batch_stats}
+            (pred, _), updates = model.apply(
+                variables, batch, deterministic=False, zero_var=zero_var,
+                rngs={"dropout": rng_drop, "reparam": rng_rep},
+                mutable=["batch_stats"])
+            y, mask = batch.y, batch.y_mask
+            valid = mask * jnp.isfinite(y).astype(mask.dtype)
+            return loss_fn(pred, y, valid, task_scale, rng_loss), \
+                updates.get("batch_stats", batch_stats)
+
+        (loss, new_bstats), grads = jax.value_and_grad(
+            f, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        ok = jnp.isfinite(loss)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(ok, x, y), a, b)
+        return (sel(new_params, params), sel(new_bstats, batch_stats),
+                sel(new_opt, opt_state), loss)
+
+    rep = NamedSharding(mesh, P())
+    batch_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), edge_partition_spec(axis))
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, batch_shardings, rep, rep, rep),
+        out_shardings=(rep, rep, rep, rep))

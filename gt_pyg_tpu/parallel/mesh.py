@@ -27,10 +27,12 @@ def make_mesh(axis_sizes: Optional[dict] = None,
         axis_sizes = {"data": len(devices)}
     names = tuple(axis_sizes.keys())
     shape = tuple(axis_sizes.values())
-    if int(np.prod(shape)) != len(devices):
+    need = int(np.prod(shape))
+    if need > len(devices):
         raise ValueError(
-            f"mesh shape {shape} does not cover {len(devices)} devices")
-    dev_array = np.asarray(devices).reshape(shape)
+            f"mesh shape {shape} needs {need} devices, "
+            f"have {len(devices)}")
+    dev_array = np.asarray(devices[:need]).reshape(shape)
     return Mesh(dev_array, names)
 
 

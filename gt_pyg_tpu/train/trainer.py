@@ -62,6 +62,13 @@ class TrainConfig:
                                              # Pallas kernel contract);
                                              # set with attn_impl="tile"
     tiles_multiple: int = 8                  # tile-count bucketing
+    mesh_devices: int = 1                    # data-parallel replicas; >1
+                                             # routes the train step
+                                             # through shard_map + psum
+                                             # over a ("data",) mesh
+                                             # (model should set
+                                             # bn_axis_name="data" when
+                                             # norm == "bn")
     prng_impl: Optional[str] = "rbg"         # "rbg" (default): measured
                                              # 62.5→51.3 ms/step on v5e vs
                                              # threefry; None/"threefry"
@@ -85,7 +92,13 @@ def init_on_host(model, sample_batch, rng):
     runtimes that costs minutes (every tiny op round-trips), while the
     same init on the CPU backend takes seconds. Requires the process to
     expose a cpu backend alongside the accelerator (e.g.
-    ``jax_platforms="axon,cpu"``); falls back to the default device."""
+    ``jax_platforms="axon,cpu"``); falls back to the default device.
+
+    Parameter structure is identical across attention impls, so init
+    always runs the lax path — Pallas kernels cannot lower for the CPU
+    backend used here."""
+    if getattr(model, "attn_impl", "lax") != "lax":
+        model = model.clone(attn_impl="lax")
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
@@ -134,6 +147,27 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         self._dd: dict = {}          # id(graphs) -> DeviceDataset
         self._dd_steps: dict = {}    # static_meta -> (train_fn, eval_fn)
+        self.mesh = None
+        self._dp_step = None
+        if config.mesh_devices and config.mesh_devices > 1:
+            from ..parallel import make_mesh
+
+            devices = jax.devices()
+            if len(devices) < config.mesh_devices:
+                raise ValueError(
+                    f"mesh_devices={config.mesh_devices} but only "
+                    f"{len(devices)} devices are visible")
+            self.mesh = make_mesh(
+                {"data": config.mesh_devices},
+                devices=devices[:config.mesh_devices])
+            if getattr(model, "norm", None) == "bn" \
+                    and getattr(model, "bn_axis_name", None) != "data":
+                logger.warning(
+                    "mesh_devices>1 with norm='bn' but the model has "
+                    "bn_axis_name=%r — BatchNorm statistics will NOT "
+                    "sync across replicas (build the model with "
+                    "bn_axis_name='data')",
+                    getattr(model, "bn_axis_name", None))
 
     # ---- state ----
     def init_state(self, sample_batch: GraphBatch, rng=None):
@@ -189,7 +223,7 @@ class Trainer:
 
     # ---- steps ----
     def _train_step_impl(self, state, batch: GraphBatch, lr, task_scale,
-                         rng):
+                         rng, axis=None):
         rng_drop, rng_rep, rng_loss = jax.random.split(rng, 3)
 
         def loss_fn(params):
@@ -207,6 +241,15 @@ class Trainer:
 
         (loss, new_bstats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
+
+        if axis is not None:
+            # data-parallel: all-reduce over ICI. batch_stats are already
+            # globally-synced when the model carries bn_axis_name; the
+            # pmean is then an identity (and the correct average when it
+            # does not).
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            new_bstats = jax.lax.pmean(new_bstats, axis)
 
         if self.frozen_mask is not None:
             grads = jax.tree_util.tree_map(
@@ -243,6 +286,68 @@ class Trainer:
                           jax.random.PRNGKey(0))
         return pred, log_var, loss
 
+    # ---- data-parallel path ----
+    def _get_dp_step(self):
+        """shard_map-wrapped train step over the ("data",) mesh: the
+        SAME per-device body as the single-device path (LR injection,
+        frozen masks, NaN-skip) plus gradient/loss pmean."""
+        if self._dp_step is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def body(state, batch, lr, task_scale, rng):
+                batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index("data"))
+                return self._train_step_impl(state, batch, lr,
+                                             task_scale, rng,
+                                             axis="data")
+
+            # check_vma=False: the fused Pallas kernel's outputs carry no
+            # varying-mesh-axes annotation, which the checker rejects
+            smapped = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(), P("data"), P(), P(), P()),
+                out_specs=(P(), P(), P()), check_vma=False)
+            self._dp_step = jax.jit(smapped)
+        return self._dp_step
+
+    def _train_epoch_dp(self, state, graphs, task_scale, epoch, rng):
+        """One data-parallel epoch: global minibatches are round-robin
+        sharded into per-replica padded sub-batches with common shapes
+        and fed through the shard_map step."""
+        from ..parallel.data_parallel import make_stacked_shards
+
+        c = self.cfg
+        d = c.mesh_devices
+        shard_bs = -(-c.batch_train // d)
+        lr = jnp.asarray(self.lr_fn(epoch - 1), jnp.float32)
+        np_rng = np.random.default_rng(c.seed + epoch)
+        order = np.arange(len(graphs))
+        np_rng.shuffle(order)
+        step = self._get_dp_step()
+        losses = []
+        for s in range(0, len(order), c.batch_train):
+            chunk = [graphs[i] for i in order[s:s + c.batch_train]]
+            stacked = make_stacked_shards(
+                chunk, d, shard_bs, num_tasks=self.num_tasks,
+                node_multiple=c.node_multiple,
+                edge_multiple=c.edge_multiple,
+                tile_edges=c.tile_edges,
+                tiles_multiple=c.tiles_multiple)
+            jb = jax.tree_util.tree_map(jnp.asarray, stacked)
+            rng, step_rng = jax.random.split(rng)
+            state, loss, ok = step(state, jb, lr, task_scale, step_rng)
+            losses.append(loss)
+        vals = np.asarray(jnp.stack(losses)) if losses else np.zeros(1)
+        finite = np.isfinite(vals)
+        if int((~finite).sum()):
+            logger.warning("NaN loss in %d batch(es); updates skipped",
+                           int((~finite).sum()))
+        mean_loss = (float(vals[finite].mean()) if finite.any()
+                     else float("nan"))
+        return state, mean_loss, rng
+
     # ---- device-resident data path ----
     def _get_dd(self, graphs):
         from ..data.device_dataset import DeviceDataset
@@ -276,6 +381,9 @@ class Trainer:
         """One epoch. Losses stay on device until one fetch at the end —
         per-batch host syncs are ruinous on remote/tunnelled backends."""
         c = self.cfg
+        if self.mesh is not None:
+            return self._train_epoch_dp(state, graphs, task_scale, epoch,
+                                        rng)
         lr = jnp.asarray(self.lr_fn(epoch - 1), jnp.float32)
         np_rng = np.random.default_rng(c.seed + epoch)
         losses = []
