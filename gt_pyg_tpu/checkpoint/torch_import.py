@@ -119,10 +119,22 @@ def load_torch_checkpoint(
     the original metadata (config, versions). With ``filter_heads=True``
     the μ/log-σ² heads are dropped (fine-tune head reinit,
     train_logd_finetune.ipynb cell 6).
+
+    .. warning:: Only load ``.pt`` files you trust. The safe
+       ``weights_only=True`` loader is tried first, but reference-format
+       checkpoints carry non-tensor metadata that forces a fallback to
+       full unpickling, which can execute arbitrary code from the file.
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        logger.warning(
+            "weights_only load of %s failed (non-tensor metadata in the "
+            "checkpoint); falling back to full unpickling — only load "
+            "files you trust", path)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model_state_dict", ckpt)
     converted = convert_torch_state_dict(state)
     if filter_heads:

@@ -273,6 +273,7 @@ def cmd_train(args) -> int:
             model, best["state"], out / "best.ckpt",
             epoch=best["epoch"], best_metric=best["val_rae"],
             extra={"endpoints": list(endpoints),
+                   "prng_impl": args.prng,
                    "train_mins": [float(x) for x in result["train_mins"]],
                    "train_maxs": [float(x) for x in result["train_maxs"]],
                    "task_scale": [float(x) for x in result["task_scale"]]})
@@ -280,9 +281,20 @@ def cmd_train(args) -> int:
         model, {"params": result["state"]["params"],
                 "batch_stats": result["state"]["batch_stats"]},
         out / "last.ckpt", epoch=args.epochs,
-        extra={"endpoints": list(endpoints)})
+        extra={"endpoints": list(endpoints), "prng_impl": args.prng})
+    history = result["history"]
+    if start_epoch > 1 and (out / "history.json").exists():
+        # segmented (--restart-every) runs: merge with prior segments'
+        # epochs instead of overwriting (ADVICE r1)
+        try:
+            with open(out / "history.json") as f:
+                prior = json.load(f)
+            history = [h for h in prior
+                       if h.get("epoch", 0) < start_epoch] + history
+        except (json.JSONDecodeError, OSError) as e:
+            logger.warning("could not merge prior history.json: %s", e)
     with open(out / "history.json", "w") as f:
-        json.dump(result["history"], f, indent=1)
+        json.dump(history, f, indent=1)
     logger.info("best val RAE %.4f at epoch %d -> %s",
                 best["val_rae"], best["epoch"], out / "best.ckpt")
     return 0
@@ -462,7 +474,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--segment-end", type=int, default=0,
                    help=argparse.SUPPRESS)
     t.add_argument("--init-from", default=None,
-                   help=".ckpt or torch .pt backbone to initialize from")
+                   help=".ckpt or torch .pt backbone to initialize from "
+                        "(.pt files are unpickled — only load files you "
+                        "trust)")
     t.add_argument("--reinit-heads", action="store_true",
                    help="drop mu/log_var heads when loading --init-from")
     t.add_argument("--model-from-ckpt", action="store_true",

@@ -17,9 +17,12 @@ The batch is a pytree and can be donated to jit-compiled steps directly.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 # Node rows per tile in the tile-packed layout (see ``pad_graph_batch``
 # with ``tile_edges`` set). Matches the TPU 128-lane register width and
@@ -222,11 +225,17 @@ def pad_graph_batch(
         T = num_tasks or 1
 
     if use_native:
+        # Narrow catch (ADVICE r1): only library-availability failures
+        # fall back to numpy; a ValueError from the packer means invalid
+        # input (bad edge indices) and must propagate, not silently
+        # produce a different batch via the fallback.
         try:
             from ..native import pack_batch_native
 
             fields = pack_batch_native(graphs, Np, Ep, Bp, T)
-        except Exception:
+        except (ImportError, OSError) as e:
+            logger.warning("native packer unavailable (%s); "
+                           "using the numpy path", e)
             fields = None
         if fields is not None:
             return GraphBatch(**fields)

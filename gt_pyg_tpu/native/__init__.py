@@ -18,14 +18,44 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _LIB_PATH = Path(__file__).parent / "libgtpacker.so"
+_SRC_PATH = Path(__file__).parents[2] / "native" / "packer.cpp"
 _lib = None
+_build_attempted = False
+
+
+def _try_build() -> bool:
+    """Compile the packer on first use (portable flags, no -march=native:
+    the binary is NOT committed to the repo — ADVICE r1)."""
+    global _build_attempted
+    if _build_attempted:
+        return _LIB_PATH.exists()
+    _build_attempted = True
+    if not _SRC_PATH.exists():
+        return False
+    import shutil
+    import subprocess
+
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if cxx is None:
+        return False
+    try:
+        subprocess.run(
+            [cxx, "-O3", "-fPIC", "-std=c++17", "-shared",
+             "-o", str(_LIB_PATH), str(_SRC_PATH)],
+            check=True, capture_output=True, timeout=120)
+        logger.info("built native packer at %s", _LIB_PATH)
+        return True
+    except (subprocess.SubprocessError, OSError) as e:
+        logger.warning("native packer build failed (%s); "
+                       "using the numpy path", e)
+        return False
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    if not _LIB_PATH.exists() and not _try_build():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -126,7 +156,12 @@ def pack_batch_native(graphs: Sequence, Np: int, Ep: int, Bp: int,
         _ip(node_graph), _fp(node_mask), _fp(edge_mask), _fp(graph_mask),
         _fp(y_out), _fp(ym_out))
     if rc != 0:
-        raise ValueError(f"pack_batch_native failed with code {rc}")
+        reasons = {-1: "padding smaller than totals",
+                   -2: "negative per-graph count",
+                   -3: "edge index out of range for its graph"}
+        raise ValueError(
+            f"pack_batch_native failed with code {rc}: "
+            f"{reasons.get(rc, 'unknown error')}")
 
     edge_perm_src = np.argsort(edge_src, kind="stable").astype(np.int32)
     return dict(node_x=node_x, edge_attr=edge_attr, edge_src=edge_src,

@@ -42,10 +42,24 @@ int pack_batch(
     float* y_out, float* ymask_out) {
   int64_t tot_nodes = 0, tot_edges = 0;
   for (int32_t g = 0; g < B; ++g) {
+    if (n_nodes[g] < 0 || n_edges[g] < 0) return -2;
     tot_nodes += n_nodes[g];
     tot_edges += n_edges[g];
   }
   if (tot_nodes > Np || tot_edges > Ep || B > Bp) return -1;
+
+  // validate graph-local edge indices up front: an out-of-range dst would
+  // corrupt the counting-sort heap writes below
+  {
+    int64_t e_chk = 0;
+    for (int32_t g = 0; g < B; ++g) {
+      const int64_t n = n_nodes[g];
+      for (int32_t k = 0; k < n_edges[g]; ++k, ++e_chk) {
+        const int64_t s = edge_src_in[e_chk], d = edge_dst_in[e_chk];
+        if (s < 0 || s >= n || d < 0 || d >= n) return -3;
+      }
+    }
+  }
 
   // node features: straight copy then zero padding
   std::memcpy(node_x, xs, sizeof(float) * tot_nodes * F);
