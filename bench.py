@@ -66,7 +66,29 @@ def model_flops_fwd(npad, ep, bp, hidden=128, a_gt=2, a_pool=4,
     return 2 * total_macs
 
 
-def build_batch(batch_graphs, tile_edges):
+def build_batch(batch_graphs=2048, tile_edges=None):
+    """Featurize + pack the bench batch; cached on disk (featurizing 2k+
+    molecules costs minutes and dominates ablation turnaround)."""
+    import pickle
+    from pathlib import Path
+
+    cache = Path(f"/tmp/gt_bench_batch_{batch_graphs}_{tile_edges}.pkl")
+    if cache.exists():
+        try:
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass
+    batch = _build_batch_uncached(batch_graphs, tile_edges)
+    try:
+        with open(cache, "wb") as f:
+            pickle.dump(batch, f)
+    except OSError:
+        pass
+    return batch
+
+
+def _build_batch_uncached(batch_graphs, tile_edges):
     from gt_pyg_tpu.data import get_tensor_data, pad_graph_batch
 
     csv = ("/root/reference/examples/data/train-set/"
