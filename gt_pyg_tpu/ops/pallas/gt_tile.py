@@ -77,6 +77,19 @@ def _should_interpret() -> bool:
 # operands to one bf16 pass (measured ~3e-2 relative gradient error vs
 # the lax path on v5e). bf16 operands must use DEFAULT — Mosaic rejects
 # an fp32-precision matmul on bf16 vectors ("Bad lhs type").
+#
+# Matmul-dtype policy (md): when the model computes in bf16, EVERY dot
+# in the kernel runs single-pass bf16 with f32 accumulation — the
+# indicator matrices are one-hot (exact in bf16) so gathers/broadcasts
+# stay exact and scatters round their f32 values once, exactly like any
+# other bf16 matmul in the net. When the model computes in f32 the
+# kernel is bit-faithful (HIGHEST everywhere) for golden-parity tests.
+# This matters: a HIGHEST f32 matmul costs 6 MXU passes, and the
+# fwd+bwd kernels are dominated by [TE,NT]-indicator contractions.
+def _mm_dtype(dtype):
+    return dtype if dtype == jnp.bfloat16 else _F32
+
+
 def _prec(a, b):
     if a.dtype == _F32 and b.dtype == _F32:
         return jax.lax.Precision.HIGHEST
@@ -139,17 +152,16 @@ def _fwd_body(cfg, refs):
     iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
     ss_b = sl == iota                               # [TE, NT]
     sd_b = dl == iota
-    dtype = q_ref.dtype
-    ss_d, sd_d = ss_b.astype(dtype), sd_b.astype(dtype)
-    sd_f = sd_b.astype(_F32)
+    md = _mm_dtype(q_ref.dtype)
+    ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
 
-    q_e = _dot(sd_d, q_ref[:])                      # [TE, hidden] f32
-    k_e = _dot(ss_d, k_ref[:])
-    v_e = _dot(ss_d, v_ref[:])
+    q_e = _dot(sd_m, q_ref[:].astype(md))           # [TE, hidden] f32
+    k_e = _dot(ss_m, k_ref[:].astype(md))
+    v_e = _dot(ss_m, v_ref[:].astype(md))
 
     prod = q_e * k_e * scale
-    S = s_head_ref[:]                               # [hidden, H] f32
-    logits = _dot(prod, S)                          # [TE, H]
+    S_m = s_head_ref[:].astype(md)                  # [hidden, H]
+    logits = _dot(prod.astype(md), S_m)             # [TE, H]
 
     if has_edge:
         e_val = e_val_ref[:].astype(_F32)
@@ -159,18 +171,18 @@ def _fwd_body(cfg, refs):
     else:
         v_msg = v_e
     if has_gate:
-        v_msg = v_msg * jax.nn.sigmoid(_dot(ss_d, gate_ref[:]))
+        v_msg = v_msg * jax.nn.sigmoid(_dot(ss_m, gate_ref[:].astype(md)))
         if has_edge:
             logits = logits * jax.nn.sigmoid(e_gate_ref[:].astype(_F32))
 
     node_max_t = _segment_max_t(sd_b, logits, heads)      # [H, NT]
-    p = jnp.exp(logits - _dot_rt(sd_f, node_max_t))       # [TE, H]
-    denom = _dot_t(sd_f, p)                               # [NT, H]
-    alpha = p / (_dot(sd_f, denom) + _SOFTMAX_EPS)
+    p = jnp.exp(logits - _dot_rt(sd_m, node_max_t.astype(md)))  # [TE, H]
+    denom = _dot_t(sd_m, p.astype(md))                    # [NT, H]
+    alpha = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
     alpha = alpha * keep_ref[:].astype(_F32)
 
-    msg = _dot(alpha, S.T) * v_msg                        # [TE, hidden]
-    sum_out = _dot_t(sd_f, msg)                           # [NT, hidden]
+    msg = _dot(alpha.astype(md), S_m.T) * v_msg           # [TE, hidden]
+    sum_out = _dot_t(sd_m, msg.astype(md))                # [NT, hidden]
 
     outs = []
     deg = None
@@ -179,8 +191,8 @@ def _fwd_body(cfg, refs):
             outs.append(sum_out)
         elif a == "mean":
             if deg is None:
-                ones = jnp.ones((te, 1), _F32)
-                deg = jnp.maximum(_dot_t(sd_f, ones), 1.0)  # [NT, 1]
+                ones = jnp.ones((te, 1), md)
+                deg = jnp.maximum(_dot_t(sd_m, ones), 1.0)  # [NT, 1]
             outs.append(sum_out / deg)
     out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     out_ref[:] = out.astype(out_ref.dtype)
@@ -212,17 +224,16 @@ def _bwd_body(cfg, refs):
     iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
     ss_b = sl == iota
     sd_b = dl == iota
-    dtype = q_ref.dtype
-    ss_d, sd_d = ss_b.astype(dtype), sd_b.astype(dtype)
-    ss_f, sd_f = ss_b.astype(_F32), sd_b.astype(_F32)
-    S = s_head_ref[:]
+    md = _mm_dtype(q_ref.dtype)
+    ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
+    S_m = s_head_ref[:].astype(md)
 
     # ---- recompute forward intermediates (all in VMEM)
-    q_e = _dot(sd_d, q_ref[:])
-    k_e = _dot(ss_d, k_ref[:])
-    v_e = _dot(ss_d, v_ref[:])
+    q_e = _dot(sd_m, q_ref[:].astype(md))
+    k_e = _dot(ss_m, k_ref[:].astype(md))
+    v_e = _dot(ss_m, v_ref[:].astype(md))
     prod = q_e * k_e * scale
-    logits = _dot(prod, S)
+    logits = _dot(prod.astype(md), S_m)
     if has_edge:
         e_val = e_val_ref[:].astype(_F32)
         logits_pre = logits + e_bias_ref[:].astype(_F32)
@@ -231,7 +242,7 @@ def _bwd_body(cfg, refs):
         logits_pre = logits
         v_base = v_e
     if has_gate:
-        sig_g = jax.nn.sigmoid(_dot(ss_d, gate_ref[:]))
+        sig_g = jax.nn.sigmoid(_dot(ss_m, gate_ref[:].astype(md)))
         v_msg = v_base * sig_g
         if has_edge:
             sig_eg = jax.nn.sigmoid(e_gate_ref[:].astype(_F32))
@@ -243,12 +254,12 @@ def _bwd_body(cfg, refs):
         logits_fin = logits_pre
 
     node_max_t = _segment_max_t(sd_b, logits_fin, heads)
-    p = jnp.exp(logits_fin - _dot_rt(sd_f, node_max_t))
-    denom = _dot_t(sd_f, p)
-    alpha_raw = p / (_dot(sd_f, denom) + _SOFTMAX_EPS)
+    p = jnp.exp(logits_fin - _dot_rt(sd_m, node_max_t.astype(md)))
+    denom = _dot_t(sd_m, p.astype(md))
+    alpha_raw = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
     keep = keep_ref[:].astype(_F32)
     alpha = alpha_raw * keep
-    alpha_full = _dot(alpha, S.T)                         # [TE, hidden]
+    alpha_full = _dot(alpha.astype(md), S_m.T)            # [TE, hidden]
 
     # ---- reverse
     # fold aggregator cotangents into one per-node message gradient
@@ -261,21 +272,21 @@ def _bwd_body(cfg, refs):
             g_node = g_node + piece
         elif a == "mean":
             if deg is None:
-                ones = jnp.ones((te, 1), _F32)
-                deg = jnp.maximum(_dot_t(sd_f, ones), 1.0)
+                ones = jnp.ones((te, 1), md)
+                deg = jnp.maximum(_dot_t(sd_m, ones), 1.0)
             g_node = g_node + piece / deg
         off += hidden
 
-    g_msg = _dot(sd_f, g_node)                            # [TE, hidden]
+    g_msg = _dot(sd_m, g_node.astype(md))                 # [TE, hidden]
     g_alpha_full = g_msg * v_msg
     g_v_msg = alpha_full * g_msg
 
-    g_alpha = _dot(g_alpha_full, S)                       # [TE, H]
+    g_alpha = _dot(g_alpha_full.astype(md), S_m)          # [TE, H]
     g_alpha_raw = g_alpha * keep
     # softmax VJP within segments: a * (g - sum_seg(a * g))
     t_e = alpha_raw * g_alpha_raw
-    t_n = _dot_t(sd_f, t_e)                               # [NT, H]
-    g_logits = alpha_raw * (g_alpha_raw - _dot(sd_f, t_n))
+    t_n = _dot_t(sd_m, t_e.astype(md))                    # [NT, H]
+    g_logits = alpha_raw * (g_alpha_raw - _dot(sd_m, t_n.astype(md)))
 
     if has_gate and has_edge:
         g_logits_pre = g_logits * sig_eg
@@ -286,7 +297,7 @@ def _bwd_body(cfg, refs):
     if has_edge:
         de_bias_ref[:] = g_logits_pre.astype(de_bias_ref.dtype)
 
-    g_prod = _dot(g_logits_pre, S.T)                      # [TE, hidden]
+    g_prod = _dot(g_logits_pre.astype(md), S_m.T)         # [TE, hidden]
     if has_edge:
         g_eij = g_eij_ref[:].astype(_F32)
         g_prod = g_prod + g_eij * e_val
@@ -294,7 +305,8 @@ def _bwd_body(cfg, refs):
     if has_gate:
         g_v_base = g_v_msg * sig_g
         g_gate_e = g_v_msg * v_base * sig_g * (1.0 - sig_g)
-        dgate_ref[:] = _dot_t(ss_f, g_gate_e).astype(dgate_ref.dtype)
+        dgate_ref[:] = _dot_t(ss_m,
+                              g_gate_e.astype(md)).astype(dgate_ref.dtype)
     else:
         g_v_base = g_v_msg
     if has_edge:
@@ -303,9 +315,9 @@ def _bwd_body(cfg, refs):
     g_q_e = g_prod * k_e * scale
     g_k_e = g_prod * q_e * scale
 
-    dq_ref[:] = _dot_t(sd_f, g_q_e).astype(dq_ref.dtype)
-    dk_ref[:] = _dot_t(ss_f, g_k_e).astype(dk_ref.dtype)
-    dv_ref[:] = _dot_t(ss_f, g_v_base).astype(dv_ref.dtype)
+    dq_ref[:] = _dot_t(sd_m, g_q_e.astype(md)).astype(dq_ref.dtype)
+    dk_ref[:] = _dot_t(ss_m, g_k_e.astype(md)).astype(dk_ref.dtype)
+    dv_ref[:] = _dot_t(ss_m, g_v_base.astype(md)).astype(dv_ref.dtype)
 
 
 def _edge_block(te, width):

@@ -146,6 +146,56 @@ class TestTileKernelGrad:
                                    rtol=2e-5, atol=2e-5)
 
 
+class TestTileKernelBf16:
+    """In bf16 the kernel's matmul-dtype policy switches every dot to a
+    single bf16 MXU pass (f32 accumulate); outputs must stay within
+    bf16-level error of the f32 lax reference, fwd and bwd."""
+
+    def test_forward_close_to_f32_lax(self, tiled_batch):
+        kw = _inputs(tiled_batch)
+        out_l, eij_l = gt_attention(**kw, aggregators=("sum", "mean"),
+                                    impl="lax")
+        kwb = {kn: (val.astype(jnp.bfloat16)
+                    if isinstance(val, jnp.ndarray)
+                    and val.dtype == jnp.float32 else val)
+               for kn, val in kw.items()}
+        out_t, eij_t = gt_attention(**kwb, aggregators=("sum", "mean"),
+                                    impl="tile", tile_edges=TE)
+        assert out_t.dtype == jnp.bfloat16
+        nmask = np.asarray(tiled_batch.node_mask) > 0
+        np.testing.assert_allclose(
+            np.asarray(out_t, np.float32)[nmask],
+            np.asarray(out_l)[nmask], rtol=0.1, atol=0.1)
+        emask = np.asarray(tiled_batch.edge_mask) > 0
+        np.testing.assert_allclose(
+            np.asarray(eij_t, np.float32)[emask],
+            np.asarray(eij_l)[emask], rtol=0.1, atol=0.1)
+
+    def test_grads_close_to_f32_lax(self, tiled_batch):
+        kw = _inputs(tiled_batch)
+        nmask = jnp.asarray(tiled_batch.node_mask)
+
+        def loss(q, impl, dtype):
+            full = dict(kw)
+            full = {kn: (val.astype(dtype)
+                         if isinstance(val, jnp.ndarray)
+                         and val.dtype == jnp.float32 else val)
+                    for kn, val in full.items()}
+            full["q"] = q.astype(dtype)
+            out, _ = gt_attention(**full, aggregators=("sum",),
+                                  impl=impl,
+                                  tile_edges=TE if impl == "tile"
+                                  else None)
+            return jnp.sum(((out * nmask[:, None]) ** 2)
+                           .astype(jnp.float32))
+
+        g_l = jax.grad(lambda q: loss(q, "lax", jnp.float32))(kw["q"])
+        g_t = jax.grad(lambda q: loss(q, "tile", jnp.bfloat16))(kw["q"])
+        denom = np.abs(np.asarray(g_l)) + 1.0
+        rel = np.abs(np.asarray(g_t) - np.asarray(g_l)) / denom
+        assert rel.max() < 0.15, rel.max()
+
+
 class TestModelWithTileKernel:
     def test_model_forward_matches_lax(self, tiled_batch):
         from gt_pyg_tpu.nn import GraphTransformerNet
