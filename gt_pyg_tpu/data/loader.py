@@ -26,6 +26,7 @@ def iter_batches(
     drop_last: bool = False,
     tile_edges: Optional[int] = None,
     tiles_multiple: int = 8,
+    tile_pack: str = "nextfit",
 ) -> Iterator[GraphBatch]:
     """Yield padded :class:`GraphBatch` chunks of ``batch_size`` graphs.
 
@@ -47,7 +48,8 @@ def iter_batches(
             yield pad_graph_batch(chunk, tile_edges=tile_edges,
                                   tiles_multiple=tiles_multiple,
                                   graph_pad=batch_size,
-                                  num_tasks=num_tasks)
+                                  num_tasks=num_tasks,
+                                  tile_pack=tile_pack)
             continue
         yield pad_graph_batch(
             chunk,

@@ -177,7 +177,18 @@ def _fwd_body(cfg, refs):
 
     node_max_t = _segment_max_t(sd_b, logits, heads)      # [H, NT]
     p = jnp.exp(logits - _dot_rt(sd_m, node_max_t.astype(md)))  # [TE, H]
-    denom = _dot_t(sd_m, p.astype(md))                    # [NT, H]
+    # node degree rides the denominator contraction as an extra lane
+    # column (both outputs are lane-padded to 128 anyway) — no separate
+    # MXU pass for "mean"
+    need_deg = "mean" in aggs
+    p_md = p.astype(md)
+    if need_deg:
+        aug = jnp.concatenate([p_md, jnp.ones((te, 1), md)], axis=1)
+        den_deg = _dot_t(sd_m, aug)                       # [NT, H+1]
+        denom, deg = den_deg[:, :heads], jnp.maximum(
+            den_deg[:, heads:], 1.0)
+    else:
+        denom, deg = _dot_t(sd_m, p_md), None             # [NT, H]
     alpha = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
     alpha = alpha * keep_ref[:].astype(_F32)
 
@@ -185,14 +196,10 @@ def _fwd_body(cfg, refs):
     sum_out = _dot_t(sd_m, msg.astype(md))                # [NT, hidden]
 
     outs = []
-    deg = None
     for a in aggs:
         if a == "sum":
             outs.append(sum_out)
         elif a == "mean":
-            if deg is None:
-                ones = jnp.ones((te, 1), md)
-                deg = jnp.maximum(_dot_t(sd_m, ones), 1.0)  # [NT, 1]
             outs.append(sum_out / deg)
     out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     out_ref[:] = out.astype(out_ref.dtype)
@@ -255,7 +262,15 @@ def _bwd_body(cfg, refs):
 
     node_max_t = _segment_max_t(sd_b, logits_fin, heads)
     p = jnp.exp(logits_fin - _dot_rt(sd_m, node_max_t.astype(md)))
-    denom = _dot_t(sd_m, p.astype(md))
+    need_deg = "mean" in aggs
+    p_md = p.astype(md)
+    if need_deg:
+        aug = jnp.concatenate([p_md, jnp.ones((te, 1), md)], axis=1)
+        den_deg = _dot_t(sd_m, aug)
+        denom, deg = den_deg[:, :heads], jnp.maximum(
+            den_deg[:, heads:], 1.0)
+    else:
+        denom, deg = _dot_t(sd_m, p_md), None
     alpha_raw = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
     keep = keep_ref[:].astype(_F32)
     alpha = alpha_raw * keep
@@ -264,16 +279,12 @@ def _bwd_body(cfg, refs):
     # ---- reverse
     # fold aggregator cotangents into one per-node message gradient
     g_node = jnp.zeros((NT, hidden), _F32)
-    deg = None
     off = 0
     for a in aggs:
         piece = g_out_ref[:, off:off + hidden].astype(_F32)
         if a == "sum":
             g_node = g_node + piece
         elif a == "mean":
-            if deg is None:
-                ones = jnp.ones((te, 1), md)
-                deg = jnp.maximum(_dot_t(sd_m, ones), 1.0)
             g_node = g_node + piece / deg
         off += hidden
 

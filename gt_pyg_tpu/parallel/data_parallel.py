@@ -49,7 +49,8 @@ def make_stacked_shards(graphs, num_shards: int, shard_batch_size: int,
                         node_multiple: int = 1024,
                         edge_multiple: int = 2048,
                         tile_edges=None,
-                        tiles_multiple: int = 8) -> GraphBatch:
+                        tiles_multiple: int = 8,
+                        tile_pack: str = "nextfit") -> GraphBatch:
     """Round-robin shard a global minibatch into ``num_shards`` padded
     sub-batches with COMMON shapes (max over shards, bucketed) and stack
     them [D, ...] for shard_map. Supports the tile-packed layout."""
@@ -66,13 +67,15 @@ def make_stacked_shards(graphs, num_shards: int, shard_batch_size: int,
     if tile_edges is not None:
         n_tiles = max(
             len(plan_tiles([g.num_nodes for g in c],
-                           [g.num_edges for g in c], tile_edges))
+                           [g.num_edges for g in c], tile_edges,
+                           strategy=tile_pack))
             for c in chunks)
         n_tiles = max(_round_up(n_tiles, tiles_multiple), tiles_multiple)
         for c in chunks:
             shards.append(pad_graph_batch(
                 c, tile_edges=tile_edges, tiles_multiple=n_tiles,
-                graph_pad=shard_batch_size, num_tasks=num_tasks))
+                graph_pad=shard_batch_size, num_tasks=num_tasks,
+                tile_pack=tile_pack))
     else:
         nn = max(sum(g.num_nodes for g in c) for c in chunks)
         ne = max(sum(g.num_edges for g in c) for c in chunks)

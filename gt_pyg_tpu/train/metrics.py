@@ -78,6 +78,14 @@ def per_task_metrics(y_true_2d, y_pred_2d, mask_2d,
     return out
 
 
+def _nanmean(vals) -> float:
+    """np.nanmean without the "Mean of empty slice" RuntimeWarning when
+    every entry is NaN (routine for endpoints absent from a split)."""
+    v = np.asarray(vals, dtype=float)
+    v = v[np.isfinite(v)]
+    return float(v.mean()) if v.size else float("nan")
+
+
 def macro_official_avg(metrics_dict: Dict[str, Dict[str, float]]) -> Dict[str, float]:
     vals: Dict[str, List[float]] = {k: [] for k in OFFICIAL_KEYS}
     for ep, md in metrics_dict.items():
@@ -85,7 +93,7 @@ def macro_official_avg(metrics_dict: Dict[str, Dict[str, float]]) -> Dict[str, f
             continue
         for k in OFFICIAL_KEYS:
             vals[k].append(md.get(k, np.nan))
-    return {k: (float(np.nanmean(v)) if len(v) else np.nan)
+    return {k: (_nanmean(v) if len(v) else np.nan)
             for k, v in vals.items()}
 
 
@@ -102,7 +110,7 @@ def evaluate_predictions(y_true_2d, y_pred_2d, mask_2d,
                     if m.sum() > 0 else {k: np.nan for k in OFFICIAL_KEYS})
         for k in OFFICIAL_KEYS:
             per_key[k].append(official[k])
-    task_metrics["Average"] = {k: float(np.nanmean(per_key[k]))
+    task_metrics["Average"] = {k: _nanmean(per_key[k])
                                for k in OFFICIAL_KEYS}
     return task_metrics
 

@@ -62,6 +62,16 @@ class TrainConfig:
                                              # Pallas kernel contract);
                                              # set with attn_impl="tile"
     tiles_multiple: int = 8                  # tile-count bucketing
+    tile_pack: str = "ffd"                   # tile bin-packing: "ffd"
+                                             # packs ~8% more nodes and
+                                             # ~30% more edges per tile
+                                             # row but reorders graphs
+                                             # within a batch (safe for
+                                             # fit/evaluate: y travels
+                                             # with the graph); predict()
+                                             # always uses "nextfit" so
+                                             # outputs align with the
+                                             # input graph order
     mesh_devices: int = 1                    # data-parallel replicas; >1
                                              # routes the train step
                                              # through shard_map + psum
@@ -334,7 +344,8 @@ class Trainer:
                 node_multiple=c.node_multiple,
                 edge_multiple=c.edge_multiple,
                 tile_edges=c.tile_edges,
-                tiles_multiple=c.tiles_multiple)
+                tiles_multiple=c.tiles_multiple,
+                tile_pack=c.tile_pack)
             jb = jax.tree_util.tree_map(jnp.asarray, stacked)
             rng, step_rng = jax.random.split(rng)
             state, loss, ok = step(state, jb, lr, task_scale, step_rng)
@@ -396,7 +407,8 @@ class Trainer:
                                             node_multiple=c.node_multiple,
                                             edge_multiple=c.edge_multiple,
                                             tile_edges=c.tile_edges,
-                                            tiles_multiple=c.tiles_multiple):
+                                            tiles_multiple=c.tiles_multiple,
+                                            tile_pack=c.tile_pack):
                 ib = jax.tree_util.tree_map(jnp.asarray, ib)
                 rng, step_rng = jax.random.split(rng)
                 state, loss, ok = train_fn(state, tree, ib, lr, task_scale,
@@ -419,7 +431,8 @@ class Trainer:
                          edge_multiple=c.edge_multiple,
                          num_tasks=self.num_tasks,
                          tile_edges=c.tile_edges,
-                         tiles_multiple=c.tiles_multiple))
+                         tiles_multiple=c.tiles_multiple,
+                         tile_pack=c.tile_pack))
         for batch in it:
             batch = jax.tree_util.tree_map(jnp.asarray, batch)
             rng, step_rng = jax.random.split(rng)
@@ -445,7 +458,8 @@ class Trainer:
                                   edge_multiple=c.edge_multiple,
                                   num_tasks=self.num_tasks,
                                   tile_edges=c.tile_edges,
-                                  tiles_multiple=c.tiles_multiple):
+                                  tiles_multiple=c.tiles_multiple,
+                                  tile_pack=c.tile_pack):
             ng = int(batch.num_graphs)
             jb = jax.tree_util.tree_map(jnp.asarray, batch)
             pred, log_var, loss = self._eval_step(
@@ -478,7 +492,8 @@ class Trainer:
                                         node_multiple=c.node_multiple,
                                         edge_multiple=c.edge_multiple,
                                         tile_edges=c.tile_edges,
-                                        tiles_multiple=c.tiles_multiple):
+                                        tiles_multiple=c.tiles_multiple,
+                                        tile_pack=c.tile_pack):
             ng = int(ib.num_graphs)
             ib = jax.tree_util.tree_map(jnp.asarray, ib)
             pred, log_var, loss, y, ym = eval_fn(
@@ -512,7 +527,8 @@ class Trainer:
                                   edge_multiple=c.edge_multiple,
                                   num_tasks=self.num_tasks,
                                   tile_edges=c.tile_edges,
-                                  tiles_multiple=c.tiles_multiple):
+                                  tiles_multiple=c.tiles_multiple,
+                                  tile_pack="nextfit"):
             ng = int(batch.num_graphs)
             jb = jax.tree_util.tree_map(jnp.asarray, batch)
             pred, _, _ = self._eval_step(state["params"],

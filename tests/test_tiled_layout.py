@@ -146,6 +146,88 @@ class TestTiledDeviceDataset:
         assert seen == len(graphs)
 
 
+class TestFFDPacking:
+    """First-fit-decreasing tile packing (tile_pack="ffd"): tighter
+    packing, graphs reordered within the batch, y travels with each
+    graph, all tiled-layout invariants preserved."""
+
+    def test_plan_tiles_ffd_valid_and_no_looser(self, graphs):
+        nc = [g.num_nodes for g in graphs]
+        ec = [g.num_edges for g in graphs]
+        tiles = plan_tiles(nc, ec, TE, strategy="ffd")
+        seen = sorted(g for t in tiles for g in t)
+        assert seen == list(range(len(graphs)))  # each graph exactly once
+        for tile in tiles:
+            assert sum(nc[i] for i in tile) <= TILE_NODES - 1
+            assert sum(ec[i] for i in tile) <= TE
+        assert len(tiles) <= len(plan_tiles(nc, ec, TE))
+
+    def test_unknown_strategy_raises(self, graphs):
+        with pytest.raises(ValueError, match="strategy"):
+            plan_tiles([3], [2], TE, strategy="bogus")
+
+    def test_pad_graph_batch_ffd_invariants_and_y_alignment(self, graphs):
+        batch = pad_graph_batch(graphs, tile_edges=TE, tile_pack="ffd")
+        _check_tiled_invariants(batch, TE)
+        assert int(batch.num_nodes) == sum(g.num_nodes for g in graphs)
+        assert int(batch.num_edges) == sum(g.num_edges for g in graphs)
+        # every slot's node features must equal the original graph with
+        # that slot's y value (y = 0..9 identifies graphs uniquely here)
+        gid = np.asarray(batch.node_graph)
+        y = np.asarray(batch.y)
+        for slot in range(len(graphs)):
+            orig = graphs[int(y[slot, 0])]
+            rows = np.where(gid == slot)[0]
+            assert len(rows) == orig.num_nodes
+            np.testing.assert_array_equal(
+                np.asarray(batch.node_x)[rows], orig.x)
+
+    def test_device_path_matches_host_ffd(self, graphs):
+        dd = DeviceDataset(graphs)
+        ids = [5, 0, 7, 3, 9, 1]
+        ib = dd.index_batch_tiled(ids, TE, graph_pad=len(ids),
+                                  tile_pack="ffd")
+        got = materialize_batch(
+            dd.device_tree(), jax.tree_util.tree_map(jnp.asarray, ib),
+            dd.static_meta())
+        _check_tiled_invariants(got, TE)
+        # same multiset of graphs (y identifies them), x follows y
+        assert (sorted(np.asarray(got.y)[:len(ids), 0].tolist())
+                == sorted(float(i) for i in ids))
+        gid = np.asarray(got.node_graph)
+        for slot in range(len(ids)):
+            orig = graphs[int(np.asarray(got.y)[slot, 0])]
+            rows = np.where(gid == slot)[0]
+            assert len(rows) == orig.num_nodes
+            np.testing.assert_array_equal(
+                np.asarray(got.node_x)[rows], orig.x)
+
+    def test_model_outputs_match_nextfit_modulo_permutation(self, graphs):
+        from gt_pyg_tpu.nn import GraphTransformerNet
+
+        model = GraphTransformerNet(
+            node_dim_in=140, edge_dim_in=39, hidden_dim=32,
+            num_gt_layers=2, num_heads=4, dropout=0.0, norm="ln",
+            gate=True, gt_aggregators=("sum", "mean"),
+            aggregators=("sum", "mean"))
+        b_nf = pad_graph_batch(graphs, tile_edges=TE)
+        b_ffd = pad_graph_batch(graphs, tile_edges=TE, tile_pack="ffd")
+        jn = jax.tree_util.tree_map(jnp.asarray, b_nf)
+        jf = jax.tree_util.tree_map(jnp.asarray, b_ffd)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, jn,
+                               deterministic=True)
+        p_nf, _ = model.apply(variables, jn, deterministic=True)
+        p_ffd, _ = model.apply(variables, jf, deterministic=True)
+        n = len(graphs)
+        # align by y (unique per graph here): prediction per molecule
+        # must not depend on the packing order
+        order_nf = np.argsort(np.asarray(b_nf.y)[:n, 0])
+        order_ffd = np.argsort(np.asarray(b_ffd.y)[:n, 0])
+        np.testing.assert_allclose(
+            np.asarray(p_ffd)[:n][order_ffd],
+            np.asarray(p_nf)[:n][order_nf], rtol=2e-5, atol=2e-5)
+
+
 class TestModelParityFlatVsTiled:
     @pytest.mark.parametrize("norm", ["ln", "bn"])
     def test_forward_equal(self, graphs, norm):
