@@ -179,12 +179,20 @@ def main(argv=None):
     _eval_set("val", va_preds, va_ds, endpoints, args.n_boot, report)
 
     if args.test_csv:
+        from gt_pyg_tpu.data.datasets import clip_to_train_range
+
         te_df = pd.read_csv(args.test_csv)
         if any(e not in te_df.columns for e in endpoints):
             te_df = log_transform_assay_data(te_df)
         te_ds = get_tensor_data_parallel(
             te_df["SMILES"].tolist(), te_df[endpoints].values.tolist())
         te_preds, _ = _ensemble_predict(ckpts, te_ds, endpoints)
+        # Test-time clipping to the train label range, as the reference's
+        # submission path does (train_logd.ipynb cell 16, DELTA=0); the
+        # val split stays unclipped (model selection ran unclipped too).
+        tr_y = tr_df[endpoints].values.astype(float)
+        te_preds = clip_to_train_range(
+            te_preds, np.nanmin(tr_y, axis=0), np.nanmax(tr_y, axis=0))
         _eval_set("test", te_preds, te_ds, endpoints, args.n_boot, report)
 
     with open(out_dir / "ensemble_metrics.json", "w") as f:
