@@ -233,7 +233,7 @@ def main():
     p.add_argument("--attn-impl", default="tile",
                    choices=["tile", "lax", "pallas"])
     p.add_argument("--batch-graphs", type=int, default=2048)
-    p.add_argument("--tile-edges", type=int, default=384)
+    p.add_argument("--tile-edges", type=int, default=256)
     p.add_argument("--tile-pack", default="ffd",
                    choices=["ffd", "nextfit"])
     p.add_argument("--steps", type=int, default=TIMED_STEPS)

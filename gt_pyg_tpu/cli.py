@@ -42,8 +42,10 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
                    help="'tile': fused per-tile Pallas kernel on "
                         "tile-packed batches (default); 'lax': XLA "
                         "reference path; 'pallas': v1 chunked kernel")
-    p.add_argument("--tile-edges", type=int, default=384,
-                   help="edge rows per 128-node tile (tile impl only)")
+    p.add_argument("--tile-edges", type=int, default=256,
+                   help="edge rows per 128-node tile (tile impl only; 256 "
+                        "measured fastest on v5e — packs edges 1.06x vs "
+                        "1.42x at 384, RESULTS.md)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params)")
 

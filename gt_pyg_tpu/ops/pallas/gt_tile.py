@@ -131,9 +131,16 @@ def _segment_max_t(sd_b, logits, heads):
     return jnp.where(node_max_t > _NEG_INF / 2, node_max_t, 0.0)
 
 
-# cfg tuple: (heads, dh, te, aggs, has_gate, has_edge)
+# cfg tuple: (heads, dh, te, aggs, has_gate, has_edge, tiles_per_step)
+#
+# Each grid step processes ``tiles_per_step`` (G) consecutive tiles with
+# a static inner loop: per-step Mosaic control overhead (~µs) was
+# measured to dominate the kernel at G=1 (2048 grid steps for the
+# 4-layer bench batch vs a ~2 ms matmul floor), and the per-tile matmul
+# shapes are unchanged, so amortizing the overhead G× is pure win as
+# long as the G-tile working set fits VMEM.
 def _fwd_body(cfg, refs):
-    heads, dh, te, aggs, has_gate, has_edge = cfg
+    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
     scale = 1.0 / math.sqrt(dh)
     i = iter(refs)
     q_ref, k_ref, v_ref = next(i), next(i), next(i)
@@ -146,67 +153,74 @@ def _fwd_body(cfg, refs):
     out_ref = next(i)
     eij_ref = next(i) if has_edge else None
 
-    base = pl.program_id(0) * NT
-    sl = src_ref[:] - base                          # [TE, 1] tile-local
-    dl = dst_ref[:] - base
+    S_m_raw = s_head_ref[:]
     iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
-    ss_b = sl == iota                               # [TE, NT]
-    sd_b = dl == iota
-    md = _mm_dtype(q_ref.dtype)
-    ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
 
-    q_e = _dot(sd_m, q_ref[:].astype(md))           # [TE, hidden] f32
-    k_e = _dot(ss_m, k_ref[:].astype(md))
-    v_e = _dot(ss_m, v_ref[:].astype(md))
+    for g in range(g_tiles):
+        en = pl.ds(g * te, te)                      # edge-row window
+        nn_ = pl.ds(g * NT, NT)                     # node-row window
+        base = (pl.program_id(0) * g_tiles + g) * NT
+        sl = src_ref[en] - base                     # [TE, 1] tile-local
+        dl = dst_ref[en] - base
+        ss_b = sl == iota                           # [TE, NT]
+        sd_b = dl == iota
+        md = _mm_dtype(q_ref.dtype)
+        ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
 
-    prod = q_e * k_e * scale
-    S_m = s_head_ref[:].astype(md)                  # [hidden, H]
-    logits = _dot(prod.astype(md), S_m)             # [TE, H]
+        q_e = _dot(sd_m, q_ref[nn_].astype(md))     # [TE, hidden] f32
+        k_e = _dot(ss_m, k_ref[nn_].astype(md))
+        v_e = _dot(ss_m, v_ref[nn_].astype(md))
 
-    if has_edge:
-        e_val = e_val_ref[:].astype(_F32)
-        eij_ref[:] = (prod * e_val).astype(eij_ref.dtype)
-        logits = logits + e_bias_ref[:].astype(_F32)
-        v_msg = v_e + e_val
-    else:
-        v_msg = v_e
-    if has_gate:
-        v_msg = v_msg * jax.nn.sigmoid(_dot(ss_m, gate_ref[:].astype(md)))
+        prod = q_e * k_e * scale
+        S_m = S_m_raw.astype(md)                    # [hidden, H]
+        logits = _dot(prod.astype(md), S_m)         # [TE, H]
+
         if has_edge:
-            logits = logits * jax.nn.sigmoid(e_gate_ref[:].astype(_F32))
+            e_val = e_val_ref[en].astype(_F32)
+            eij_ref[en] = (prod * e_val).astype(eij_ref.dtype)
+            logits = logits + e_bias_ref[en].astype(_F32)
+            v_msg = v_e + e_val
+        else:
+            v_msg = v_e
+        if has_gate:
+            v_msg = v_msg * jax.nn.sigmoid(
+                _dot(ss_m, gate_ref[nn_].astype(md)))
+            if has_edge:
+                logits = logits * jax.nn.sigmoid(
+                    e_gate_ref[en].astype(_F32))
 
-    node_max_t = _segment_max_t(sd_b, logits, heads)      # [H, NT]
-    p = jnp.exp(logits - _dot_rt(sd_m, node_max_t.astype(md)))  # [TE, H]
-    # node degree rides the denominator contraction as an extra lane
-    # column (both outputs are lane-padded to 128 anyway) — no separate
-    # MXU pass for "mean"
-    need_deg = "mean" in aggs
-    p_md = p.astype(md)
-    if need_deg:
-        aug = jnp.concatenate([p_md, jnp.ones((te, 1), md)], axis=1)
-        den_deg = _dot_t(sd_m, aug)                       # [NT, H+1]
-        denom, deg = den_deg[:, :heads], jnp.maximum(
-            den_deg[:, heads:], 1.0)
-    else:
-        denom, deg = _dot_t(sd_m, p_md), None             # [NT, H]
-    alpha = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
-    alpha = alpha * keep_ref[:].astype(_F32)
+        node_max_t = _segment_max_t(sd_b, logits, heads)  # [H, NT]
+        p = jnp.exp(logits - _dot_rt(sd_m, node_max_t.astype(md)))
+        # node degree rides the denominator contraction as an extra lane
+        # column (both outputs are lane-padded to 128 anyway) — no
+        # separate MXU pass for "mean"
+        need_deg = "mean" in aggs
+        p_md = p.astype(md)
+        if need_deg:
+            aug = jnp.concatenate([p_md, jnp.ones((te, 1), md)], axis=1)
+            den_deg = _dot_t(sd_m, aug)                   # [NT, H+1]
+            denom, deg = den_deg[:, :heads], jnp.maximum(
+                den_deg[:, heads:], 1.0)
+        else:
+            denom, deg = _dot_t(sd_m, p_md), None         # [NT, H]
+        alpha = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
+        alpha = alpha * keep_ref[en].astype(_F32)
 
-    msg = _dot(alpha.astype(md), S_m.T) * v_msg           # [TE, hidden]
-    sum_out = _dot_t(sd_m, msg.astype(md))                # [NT, hidden]
+        msg = _dot(alpha.astype(md), S_m.T) * v_msg       # [TE, hidden]
+        sum_out = _dot_t(sd_m, msg.astype(md))            # [NT, hidden]
 
-    outs = []
-    for a in aggs:
-        if a == "sum":
-            outs.append(sum_out)
-        elif a == "mean":
-            outs.append(sum_out / deg)
-    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-    out_ref[:] = out.astype(out_ref.dtype)
+        outs = []
+        for a in aggs:
+            if a == "sum":
+                outs.append(sum_out)
+            elif a == "mean":
+                outs.append(sum_out / deg)
+        out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+        out_ref[nn_] = out.astype(out_ref.dtype)
 
 
 def _bwd_body(cfg, refs):
-    heads, dh, te, aggs, has_gate, has_edge = cfg
+    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
     scale = 1.0 / math.sqrt(dh)
     hidden = heads * dh
     i = iter(refs)
@@ -225,148 +239,157 @@ def _bwd_body(cfg, refs):
         de_bias_ref, de_val_ref = next(i), next(i)
         de_gate_ref = next(i) if has_gate else None
 
-    base = pl.program_id(0) * NT
-    sl = src_ref[:] - base
-    dl = dst_ref[:] - base
     iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
-    ss_b = sl == iota
-    sd_b = dl == iota
-    md = _mm_dtype(q_ref.dtype)
-    ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
-    S_m = s_head_ref[:].astype(md)
+    S_m_raw = s_head_ref[:]
 
-    # ---- recompute forward intermediates (all in VMEM)
-    q_e = _dot(sd_m, q_ref[:].astype(md))
-    k_e = _dot(ss_m, k_ref[:].astype(md))
-    v_e = _dot(ss_m, v_ref[:].astype(md))
-    prod = q_e * k_e * scale
-    logits = _dot(prod.astype(md), S_m)
-    if has_edge:
-        e_val = e_val_ref[:].astype(_F32)
-        logits_pre = logits + e_bias_ref[:].astype(_F32)
-        v_base = v_e + e_val
-    else:
-        logits_pre = logits
-        v_base = v_e
-    if has_gate:
-        sig_g = jax.nn.sigmoid(_dot(ss_m, gate_ref[:].astype(md)))
-        v_msg = v_base * sig_g
+    for g in range(g_tiles):
+        en = pl.ds(g * te, te)
+        nn_ = pl.ds(g * NT, NT)
+        base = (pl.program_id(0) * g_tiles + g) * NT
+        sl = src_ref[en] - base
+        dl = dst_ref[en] - base
+        ss_b = sl == iota
+        sd_b = dl == iota
+        md = _mm_dtype(q_ref.dtype)
+        ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
+        S_m = S_m_raw.astype(md)
+
+        # ---- recompute forward intermediates (all in VMEM)
+        q_e = _dot(sd_m, q_ref[nn_].astype(md))
+        k_e = _dot(ss_m, k_ref[nn_].astype(md))
+        v_e = _dot(ss_m, v_ref[nn_].astype(md))
+        prod = q_e * k_e * scale
+        logits = _dot(prod.astype(md), S_m)
         if has_edge:
-            sig_eg = jax.nn.sigmoid(e_gate_ref[:].astype(_F32))
-            logits_fin = logits_pre * sig_eg
+            e_val = e_val_ref[en].astype(_F32)
+            logits_pre = logits + e_bias_ref[en].astype(_F32)
+            v_base = v_e + e_val
         else:
+            logits_pre = logits
+            v_base = v_e
+        if has_gate:
+            sig_g = jax.nn.sigmoid(_dot(ss_m, gate_ref[nn_].astype(md)))
+            v_msg = v_base * sig_g
+            if has_edge:
+                sig_eg = jax.nn.sigmoid(e_gate_ref[en].astype(_F32))
+                logits_fin = logits_pre * sig_eg
+            else:
+                logits_fin = logits_pre
+        else:
+            v_msg = v_base
             logits_fin = logits_pre
-    else:
-        v_msg = v_base
-        logits_fin = logits_pre
 
-    node_max_t = _segment_max_t(sd_b, logits_fin, heads)
-    p = jnp.exp(logits_fin - _dot_rt(sd_m, node_max_t.astype(md)))
-    need_deg = "mean" in aggs
-    p_md = p.astype(md)
-    if need_deg:
-        aug = jnp.concatenate([p_md, jnp.ones((te, 1), md)], axis=1)
-        den_deg = _dot_t(sd_m, aug)
-        denom, deg = den_deg[:, :heads], jnp.maximum(
-            den_deg[:, heads:], 1.0)
-    else:
-        denom, deg = _dot_t(sd_m, p_md), None
-    alpha_raw = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
-    keep = keep_ref[:].astype(_F32)
-    alpha = alpha_raw * keep
-    alpha_full = _dot(alpha.astype(md), S_m.T)            # [TE, hidden]
+        node_max_t = _segment_max_t(sd_b, logits_fin, heads)
+        p = jnp.exp(logits_fin - _dot_rt(sd_m, node_max_t.astype(md)))
+        need_deg = "mean" in aggs
+        p_md = p.astype(md)
+        if need_deg:
+            aug = jnp.concatenate([p_md, jnp.ones((te, 1), md)], axis=1)
+            den_deg = _dot_t(sd_m, aug)
+            denom, deg = den_deg[:, :heads], jnp.maximum(
+                den_deg[:, heads:], 1.0)
+        else:
+            denom, deg = _dot_t(sd_m, p_md), None
+        alpha_raw = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
+        keep = keep_ref[en].astype(_F32)
+        alpha = alpha_raw * keep
+        alpha_full = _dot(alpha.astype(md), S_m.T)        # [TE, hidden]
 
-    # ---- reverse
-    # fold aggregator cotangents into one per-node message gradient
-    g_node = jnp.zeros((NT, hidden), _F32)
-    off = 0
-    for a in aggs:
-        piece = g_out_ref[:, off:off + hidden].astype(_F32)
-        if a == "sum":
-            g_node = g_node + piece
-        elif a == "mean":
-            g_node = g_node + piece / deg
-        off += hidden
+        # ---- reverse
+        # fold aggregator cotangents into one per-node message gradient
+        g_node = jnp.zeros((NT, hidden), _F32)
+        off = 0
+        for a in aggs:
+            piece = g_out_ref[nn_, off:off + hidden].astype(_F32)
+            if a == "sum":
+                g_node = g_node + piece
+            elif a == "mean":
+                g_node = g_node + piece / deg
+            off += hidden
 
-    g_msg = _dot(sd_m, g_node.astype(md))                 # [TE, hidden]
-    g_alpha_full = g_msg * v_msg
-    g_v_msg = alpha_full * g_msg
+        g_msg = _dot(sd_m, g_node.astype(md))             # [TE, hidden]
+        g_alpha_full = g_msg * v_msg
+        g_v_msg = alpha_full * g_msg
 
-    g_alpha = _dot(g_alpha_full.astype(md), S_m)          # [TE, H]
-    g_alpha_raw = g_alpha * keep
-    # softmax VJP within segments: a * (g - sum_seg(a * g))
-    t_e = alpha_raw * g_alpha_raw
-    t_n = _dot_t(sd_m, t_e.astype(md))                    # [NT, H]
-    g_logits = alpha_raw * (g_alpha_raw - _dot(sd_m, t_n.astype(md)))
+        g_alpha = _dot(g_alpha_full.astype(md), S_m)      # [TE, H]
+        g_alpha_raw = g_alpha * keep
+        # softmax VJP within segments: a * (g - sum_seg(a * g))
+        t_e = alpha_raw * g_alpha_raw
+        t_n = _dot_t(sd_m, t_e.astype(md))                # [NT, H]
+        g_logits = alpha_raw * (g_alpha_raw
+                                - _dot(sd_m, t_n.astype(md)))
 
-    if has_gate and has_edge:
-        g_logits_pre = g_logits * sig_eg
-        de_gate_ref[:] = (g_logits * logits_pre * sig_eg
-                          * (1.0 - sig_eg)).astype(de_gate_ref.dtype)
-    else:
-        g_logits_pre = g_logits
-    if has_edge:
-        de_bias_ref[:] = g_logits_pre.astype(de_bias_ref.dtype)
+        if has_gate and has_edge:
+            g_logits_pre = g_logits * sig_eg
+            de_gate_ref[en] = (g_logits * logits_pre * sig_eg
+                               * (1.0 - sig_eg)).astype(de_gate_ref.dtype)
+        else:
+            g_logits_pre = g_logits
+        if has_edge:
+            de_bias_ref[en] = g_logits_pre.astype(de_bias_ref.dtype)
 
-    g_prod = _dot(g_logits_pre.astype(md), S_m.T)         # [TE, hidden]
-    if has_edge:
-        g_eij = g_eij_ref[:].astype(_F32)
-        g_prod = g_prod + g_eij * e_val
-        g_e_val = g_eij * prod
-    if has_gate:
-        g_v_base = g_v_msg * sig_g
-        g_gate_e = g_v_msg * v_base * sig_g * (1.0 - sig_g)
-        dgate_ref[:] = _dot_t(ss_m,
-                              g_gate_e.astype(md)).astype(dgate_ref.dtype)
-    else:
-        g_v_base = g_v_msg
-    if has_edge:
-        de_val_ref[:] = (g_e_val + g_v_base).astype(de_val_ref.dtype)
+        g_prod = _dot(g_logits_pre.astype(md), S_m.T)     # [TE, hidden]
+        if has_edge:
+            g_eij = g_eij_ref[en].astype(_F32)
+            g_prod = g_prod + g_eij * e_val
+            g_e_val = g_eij * prod
+        if has_gate:
+            g_v_base = g_v_msg * sig_g
+            g_gate_e = g_v_msg * v_base * sig_g * (1.0 - sig_g)
+            dgate_ref[nn_] = _dot_t(
+                ss_m, g_gate_e.astype(md)).astype(dgate_ref.dtype)
+        else:
+            g_v_base = g_v_msg
+        if has_edge:
+            de_val_ref[en] = (g_e_val + g_v_base).astype(de_val_ref.dtype)
 
-    g_q_e = g_prod * k_e * scale
-    g_k_e = g_prod * q_e * scale
+        g_q_e = g_prod * k_e * scale
+        g_k_e = g_prod * q_e * scale
 
-    dq_ref[:] = _dot_t(sd_m, g_q_e.astype(md)).astype(dq_ref.dtype)
-    dk_ref[:] = _dot_t(ss_m, g_k_e.astype(md)).astype(dk_ref.dtype)
-    dv_ref[:] = _dot_t(ss_m, g_v_base.astype(md)).astype(dv_ref.dtype)
+        dq_ref[nn_] = _dot_t(sd_m, g_q_e.astype(md)).astype(dq_ref.dtype)
+        dk_ref[nn_] = _dot_t(ss_m, g_k_e.astype(md)).astype(dk_ref.dtype)
+        dv_ref[nn_] = _dot_t(ss_m,
+                             g_v_base.astype(md)).astype(dv_ref.dtype)
 
 
-def _edge_block(te, width):
-    return pl.BlockSpec((te, width), lambda t: (t, 0),
+def _edge_block(cfg, width):
+    te, g = cfg[2], cfg[6]
+    return pl.BlockSpec((g * te, width), lambda t: (t, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _node_block(width):
-    return pl.BlockSpec((NT, width), lambda t: (t, 0),
+def _node_block(cfg, width):
+    g = cfg[6]
+    return pl.BlockSpec((g * NT, width), lambda t: (t, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _collect_inputs(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep,
                     src, dst):
-    heads, dh, te, aggs, has_gate, has_edge = cfg
+    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
     hidden = heads * dh
     arrays = [q, k, v]
-    specs = [_node_block(hidden)] * 3
+    specs = [_node_block(cfg, hidden)] * 3
     if has_gate:
         arrays.append(gate_n)
-        specs.append(_node_block(hidden))
+        specs.append(_node_block(cfg, hidden))
     if has_edge:
         arrays += [e_bias, e_val]
-        specs += [_edge_block(te, heads), _edge_block(te, hidden)]
+        specs += [_edge_block(cfg, heads), _edge_block(cfg, hidden)]
         if has_gate:
             arrays.append(e_gate)
-            specs.append(_edge_block(te, heads))
+            specs.append(_edge_block(cfg, heads))
     arrays += [keep, src.reshape(-1, 1), dst.reshape(-1, 1),
                jnp.asarray(_head_indicator(heads, dh))]
-    specs += [_edge_block(te, heads), _edge_block(te, 1),
-              _edge_block(te, 1),
+    specs += [_edge_block(cfg, heads), _edge_block(cfg, 1),
+              _edge_block(cfg, 1),
               pl.BlockSpec((hidden, heads), lambda t: (0, 0),
                            memory_space=pltpu.VMEM)]
     return arrays, specs
 
 
 def _cost(cfg, npad, ep, n_big_matmuls):
-    heads, dh, te, aggs, has_gate, has_edge = cfg
+    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
     hidden = heads * dh
     n_tiles = npad // NT
     per_tile = n_big_matmuls * 2 * te * NT * hidden
@@ -377,13 +400,29 @@ def _cost(cfg, npad, ep, n_big_matmuls):
     )
 
 
+def _pick_tiles_per_step(n_tiles: int, te: int, want: int) -> int:
+    """Largest divisor of n_tiles that is <= want (grid length must be
+    integral; packing rounds tile counts to ``tiles_multiple`` so the
+    preferred G usually divides exactly)."""
+    g = max(1, min(want, n_tiles))
+    while n_tiles % g:
+        g -= 1
+    return g
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _tile_core(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep, src,
                dst):
     """Fused forward. Returns (out [Np, hidden*A] aggregator-major,
     eij [Ep, hidden] or a 0-element placeholder). Inactive optional args
-    are 1-element dummies (cfg flags gate which ones reach the kernel)."""
-    heads, dh, te, aggs, has_gate, has_edge = cfg
+    are 1-element dummies (cfg flags gate which ones reach the kernel).
+
+    ``cfg`` is an 8-tuple (heads, dh, te, aggs, has_gate, has_edge,
+    g_fwd, g_bwd); the fwd/bwd kernels run with their own
+    tiles-per-step (the bwd working set is ~2x the fwd's, so it uses a
+    smaller G to stay inside scoped VMEM)."""
+    cfg = cfg[:6] + (cfg[6],)          # 7-tuple view with G = g_fwd
+    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
     hidden = heads * dh
     npad, ep = q.shape[0], src.shape[0]
     n_tiles = npad // NT
@@ -392,18 +431,20 @@ def _tile_core(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep, src,
                                        e_val, e_gate, keep, src, dst)
     out_shapes = [jax.ShapeDtypeStruct((npad, hidden * len(aggs)),
                                        q.dtype)]
-    out_specs = [_node_block(hidden * len(aggs))]
+    out_specs = [_node_block(cfg, hidden * len(aggs))]
     if has_edge:
         out_shapes.append(jax.ShapeDtypeStruct((ep, hidden), q.dtype))
-        out_specs.append(_edge_block(te, hidden))
+        out_specs.append(_edge_block(cfg, hidden))
 
     res = pl.pallas_call(
         functools.partial(lambda c, *refs: _fwd_body(c, refs), cfg),
-        grid=(n_tiles,),
+        grid=(n_tiles // g_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=_cost(cfg, npad, ep, 6 + has_gate),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
         interpret=_should_interpret(),
     )(*arrays)
     out = res[0]
@@ -419,7 +460,8 @@ def _tile_core_fwd(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep,
 
 
 def _tile_core_bwd(cfg, residuals, cotangents):
-    heads, dh, te, aggs, has_gate, has_edge = cfg
+    cfg = cfg[:6] + (cfg[7],)          # 7-tuple view with G = g_bwd
+    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
     hidden = heads * dh
     q, k, v, gate_n, e_bias, e_val, e_gate, keep, src, dst = residuals
     g_out, g_eij = cotangents
@@ -429,34 +471,36 @@ def _tile_core_bwd(cfg, residuals, cotangents):
     arrays, in_specs = _collect_inputs(cfg, q, k, v, gate_n, e_bias,
                                        e_val, e_gate, keep, src, dst)
     arrays.append(g_out.astype(q.dtype))
-    in_specs.append(_node_block(hidden * len(aggs)))
+    in_specs.append(_node_block(cfg, hidden * len(aggs)))
     if has_edge:
         arrays.append(g_eij.astype(q.dtype))
-        in_specs.append(_edge_block(te, hidden))
+        in_specs.append(_edge_block(cfg, hidden))
 
     out_shapes = [jax.ShapeDtypeStruct((npad, hidden), q.dtype)] * 3
-    out_specs = [_node_block(hidden)] * 3
+    out_specs = [_node_block(cfg, hidden)] * 3
     if has_gate:
         out_shapes.append(jax.ShapeDtypeStruct((npad, hidden), q.dtype))
-        out_specs.append(_node_block(hidden))
+        out_specs.append(_node_block(cfg, hidden))
     if has_edge:
         out_shapes += [
             jax.ShapeDtypeStruct((ep, heads), jnp.float32),
             jax.ShapeDtypeStruct((ep, hidden), q.dtype),
         ]
-        out_specs += [_edge_block(te, heads), _edge_block(te, hidden)]
+        out_specs += [_edge_block(cfg, heads), _edge_block(cfg, hidden)]
         if has_gate:
             out_shapes.append(jax.ShapeDtypeStruct((ep, heads),
                                                    jnp.float32))
-            out_specs.append(_edge_block(te, heads))
+            out_specs.append(_edge_block(cfg, heads))
 
     res = pl.pallas_call(
         functools.partial(lambda c, *refs: _bwd_body(c, refs), cfg),
-        grid=(n_tiles,),
+        grid=(n_tiles // g_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=_cost(cfg, npad, ep, 12 + 2 * has_gate),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
         interpret=_should_interpret(),
     )(*arrays)
 
@@ -495,6 +539,7 @@ def gt_attention_tile(
     aggregators: Sequence[str] = ("sum",),
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    tiles_per_step: int = 8,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Tile-fused gt_attention (same contract as the lax path; requires
     a tile-packed batch). Returns (node_out [Np, hidden*A] in reference
@@ -519,7 +564,12 @@ def gt_attention_tile(
     dh = hidden // heads
     has_gate = gate_n is not None
     has_edge = e_val is not None
-    cfg = (heads, dh, int(tile_edges), aggs, has_gate, has_edge)
+    g_fwd = _pick_tiles_per_step(npad // NT, int(tile_edges),
+                                 int(tiles_per_step))
+    g_bwd = _pick_tiles_per_step(npad // NT, int(tile_edges),
+                                 max(1, int(tiles_per_step) // 2))
+    cfg = (heads, dh, int(tile_edges), aggs, has_gate, has_edge,
+           g_fwd, g_bwd)
 
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(

@@ -92,21 +92,53 @@ def masked_weighted_kendall_rank_loss(
     pred, y, mask, rng: Optional[jax.Array] = None,
     num_pairs_per_task: int = 512, tau_temp: float = 1.0,
     probe: int = 8192, clip_val=CLIP_VAL, eps=_EPS,
+    pair_sampler: str = "valid",
 ):
     """Differentiable pairwise ranking loss: softplus(-sign(Δy)·Δp/τ) over
     the top-|Δy| sampled pairs per task (reference cell 7's
-    masked_weighted_kendall_rank_loss, with fixed-shape pair sampling)."""
+    masked_weighted_kendall_rank_loss, with fixed-shape pair sampling).
+
+    ``pair_sampler="valid"`` (default) draws each probe endpoint from the
+    task's *valid* rows (fixed-shape categorical over the valid mask) —
+    matching the reference's effective probe size of 8192 valid pairs per
+    task. ``"uniform"`` preserves the pre-round-2 stream: endpoints drawn
+    uniformly over the whole batch, shared across tasks — on a task with
+    valid-fraction f it probes only ~f²·8192 valid pairs, starving sparse
+    multi-task endpoints of top-|Δy| candidates."""
     pred = jnp.clip(pred, -clip_val, clip_val)
     B, T = pred.shape
     valid, w = _valid_and_weights(pred, y, mask)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    ra, rb = jax.random.split(rng)
-    a = jax.random.randint(ra, (probe,), 0, B)
-    b = jax.random.randint(rb, (probe,), 0, B)
-    pair_ok = a != b                                       # [P]
+    if pair_sampler == "uniform":
+        ra, rb = jax.random.split(rng)
+        a_u = jax.random.randint(ra, (probe,), 0, B)
+        b_u = jax.random.randint(rb, (probe,), 0, B)
+    elif pair_sampler != "valid":
+        raise ValueError(f"unknown pair_sampler: {pair_sampler!r}")
 
     def per_task(t):
+        if pair_sampler == "valid":
+            ka, kb = jax.random.split(jax.random.fold_in(rng, t))
+            # all-(-1e30) logits (no valid rows) degrade to uniform
+            # sampling; the va mask + `has` gate below discard the task
+            logits_t = jnp.where(valid[:, t], 0.0, -1e30)
+            a = jax.random.categorical(ka, logits_t, shape=(probe,))
+            b = jax.random.categorical(kb, logits_t, shape=(probe,))
+            # with-replacement draws duplicate pairs; on a sparse task
+            # (C(n,2) < probe) duplicates would crowd the top-k window.
+            # Keep one slot per unordered pair (reference probes without
+            # replacement): O(P log P) sort-based first-occurrence mask.
+            cid = jnp.minimum(a, b) * B + jnp.maximum(a, b)
+            order = jnp.argsort(cid)
+            cs = cid[order]
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), cs[1:] != cs[:-1]])
+            uniq = jnp.zeros((probe,), bool).at[order].set(first)
+            pair_ok = (a != b) & uniq
+        else:
+            a, b = a_u, b_u
+            pair_ok = a != b                               # [P]
         va = valid[a, t] & valid[b, t] & pair_ok           # [P]
         ya, yb = y[a, t], y[b, t]
         ydiff = jnp.where(va, jnp.abs(ya - yb), -jnp.inf)
@@ -154,7 +186,7 @@ def custom_loss(
     pred, y, mask, *,
     w_rae=1.0, w_huber=1.0, w_corr=0.5, w_tau=0.5, w_r2=0.1,
     huber_delta=1.0, clip_val=CLIP_VAL, tau_temp=1.0, rank_pairs=512,
-    task_scale=None, rng=None,
+    task_scale=None, rng=None, pair_sampler="valid",
 ):
     """Weighted composite (reference cell 7 ``custom_loss``). Terms with
     zero weight are skipped at trace time."""
@@ -173,7 +205,8 @@ def custom_loss(
     if w_tau > 0:
         total += w_tau * masked_weighted_kendall_rank_loss(
             pred, y, mask, rng=rng, num_pairs_per_task=rank_pairs,
-            tau_temp=tau_temp, clip_val=clip_val)
+            tau_temp=tau_temp, clip_val=clip_val,
+            pair_sampler=pair_sampler)
     if w_r2 > 0:
         total += w_r2 * masked_r2_style_loss(pred, y, mask, clip_val=clip_val)
     return total

@@ -217,6 +217,51 @@ class TestKendallSamplingEquivalence:
         rel = abs(ref.mean() - ours.mean()) / ref.mean()
         assert rel < 0.015, (ref.mean(), ours.mean(), rel)
 
+    def test_sparse_task_probe_count(self):
+        """On a task with valid-fraction f, the reference probes 8192
+        valid pairs; the 'valid' sampler matches that, while the legacy
+        'uniform' sampler only yields ~f²·8192 — verify the new sampler
+        selects a full top-k candidate set on a sparse task."""
+        rng = np.random.default_rng(3)
+        B, f = 512, 0.1
+        y = rng.standard_normal((B, 1)).astype(np.float32)
+        pred = (0.5 * y
+                + rng.standard_normal((B, 1))).astype(np.float32)
+        mask = (rng.random((B, 1)) < f).astype(np.float32)
+        yj, pj, mj = map(jnp.asarray, (y, pred, mask))
+
+        def mean_loss(sampler):
+            return np.mean([
+                float(masked_weighted_kendall_rank_loss(
+                    pj, yj, mj, rng=jax.random.PRNGKey(s), tau_temp=2.0,
+                    pair_sampler=sampler))
+                for s in range(20)])
+
+        # exact all-pairs-top-k value on the valid subset (n~51 =>
+        # C(n,2)~1275 pairs; top-512 by |dy|, the reference's selection)
+        idx = np.where(mask[:, 0] > 0)[0]
+        ii, jj_ = np.triu_indices(len(idx), k=1)
+        a, b = idx[ii], idx[jj_]
+        top = np.argsort(-np.abs(y[a, 0] - y[b, 0]), kind="stable")[:512]
+        a, b = a[top], b[top]
+        s = np.sign(y[a, 0] - y[b, 0])
+        nt = s != 0
+        lp = np.where(nt, np.logaddexp(
+            0.0, -s * (pred[a, 0] - pred[b, 0]) / 2.0), 0.0)
+        from gt_pyg_tpu.train.losses import _valid_and_weights
+        _, w = _valid_and_weights(pj, yj, mj)
+        w = np.asarray(w)[:, 0]
+        wp = np.where(nt, 0.5 * (w[a] + w[b]), 0.0)
+        exact = float(lp @ wp / max(wp.sum(), 1e-8))
+
+        got_valid = mean_loss("valid")
+        got_uniform = mean_loss("uniform")
+        # the valid sampler's estimate must sit at least as close to the
+        # exact top-k objective as the legacy uniform sampler's
+        assert abs(got_valid - exact) <= abs(got_uniform - exact) + 1e-3, (
+            exact, got_valid, got_uniform)
+        assert abs(got_valid - exact) / exact < 0.05, (exact, got_valid)
+
 
 class TestComposite:
     def test_default_weights_combine(self, data):

@@ -64,7 +64,7 @@ if __name__ == "__main__":
             return f
         return deco
 
-    TILE_EDGES = 384
+    TILE_EDGES = 256
     batch_t = build_batch(2048, TILE_EDGES)
     batch_f = build_batch(2048, None)
     jb_t = jax.tree_util.tree_map(jnp.asarray, batch_t)
