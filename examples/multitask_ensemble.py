@@ -50,21 +50,28 @@ def _train_members(args, endpoints, tr_ds, va_ds, out_dir):
         if ckpt_path.exists() and not args.overwrite:
             print(f"model {mi}: {ckpt_path} exists, skipping")
             continue
+        import jax.numpy as jnp
+
         model = GraphTransformerNet(
             node_dim_in=140, edge_dim_in=39, hidden_dim=hidden,
             num_gt_layers=layers, num_heads=heads, dropout=0.3, norm="bn",
             gate=True, gt_aggregators=("sum", "mean"),
             aggregators=("sum", "mean", "max", "std"),
-            num_tasks=len(endpoints))
+            num_tasks=len(endpoints), attn_impl=args.attn_impl,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
         cfg = TrainConfig(endpoints=tuple(endpoints), epochs=args.epochs,
                           batch_train=64 if args.debug else 256,
                           seed=1000 + mi, log_every=max(args.epochs // 5, 1),
-                          t_max=min(500, args.epochs))
+                          t_max=min(500, args.epochs),
+                          tile_edges=(args.tile_edges
+                                      if args.attn_impl == "tile" else None))
         trainer = Trainer(model, cfg)
         sample = next(iter_batches(tr_ds, cfg.batch_train,
                                    node_multiple=cfg.node_multiple,
                                    edge_multiple=cfg.edge_multiple,
-                                   num_tasks=len(endpoints)))
+                                   num_tasks=len(endpoints),
+                                   tile_edges=cfg.tile_edges,
+                                   tiles_multiple=cfg.tiles_multiple))
         state = trainer.init_state(sample,
                                    rng=jax.random.PRNGKey(1000 + mi))
         result = trainer.fit(state, tr_ds, va_ds)
@@ -133,6 +140,9 @@ def main(argv=None):
                    help="held-out test CSV (raw assay columns OK) for "
                         "bootstrap ensemble eval")
     p.add_argument("--n-boot", type=int, default=1000)
+    p.add_argument("--attn-impl", default="tile", choices=["tile", "lax"])
+    p.add_argument("--tile-edges", type=int, default=256)
+    p.add_argument("--bf16", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)

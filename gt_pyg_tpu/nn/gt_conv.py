@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import gt_attention
+from .dropout import Dropout
 from .init import xavier_uniform
 from .mlp import MLP
 from .norm import make_norm
@@ -128,7 +129,7 @@ class GTConv(nn.Module):
             tile_edges=tile_edges,
         )                               # [Np, hidden * A], [h][a][d] layout
 
-        drop = lambda name: nn.Dropout(rate=self.dropout, name=name)
+        drop = lambda name: Dropout(rate=self.dropout, name=name)
 
         attn_out = dense(self.node_in_dim, "WO")(out)
         attn_out = drop("dropout_attn_out")(attn_out, deterministic=deterministic)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .act import resolve_activation, RELU_LIKE
+from .dropout import Dropout
 from .init import xavier_uniform, kaiming_uniform
 
 
@@ -62,7 +63,7 @@ class MLP(nn.Module):
                                  name=f"block_{i}_norm")(h)
             h = act_fn(h)
             if self.dropout > 0.0:
-                h = nn.Dropout(rate=self.dropout, name=f"block_{i}_dropout")(
+                h = Dropout(rate=self.dropout, name=f"block_{i}_dropout")(
                     h, deterministic=deterministic)
             x = x + h if (self.residual and i_dim == o_dim) else h
 

@@ -27,6 +27,7 @@ from flax import linen as nn
 from ..data.graph import GraphBatch
 from ..ops.segment import multi_aggregate
 from .gt_conv import GTConv
+from .dropout import Dropout
 from .init import xavier_uniform
 from .mlp import MLP
 from .norm import make_norm
@@ -134,7 +135,7 @@ class GraphTransformerNet(nn.Module):
         h = dense(self.hidden_dim, "node_emb", use_bias=False)(x)
         h = make_norm(self.norm, self.hidden_dim, self.bn_axis_name,
                       self.dtype, name="input_norm")(h, node_mask, use_ra)
-        h = nn.Dropout(rate=self.dropout, name="input_dropout")(
+        h = Dropout(rate=self.dropout, name="input_dropout")(
             h, deterministic=deterministic)
         # keep padding rows identically zero through the stack
         h = h * node_mask[:, None]
@@ -184,7 +185,7 @@ class GraphTransformerNet(nn.Module):
         latent = make_norm(self.norm, head_in_dim, self.bn_axis_name,
                            self.dtype, name="readout_norm")(
             g, batch.graph_mask, use_ra)
-        g = nn.Dropout(rate=self.resolved_head_dropout,
+        g = Dropout(rate=self.resolved_head_dropout,
                        name="readout_dropout")(latent,
                                                deterministic=deterministic)
 

@@ -320,7 +320,7 @@ def gt_attention_pallas(
     the lax path for aggregators beyond sum/mean.
     """
     from ..attention import (_gt_attention_lax, form_messages,
-                             interleave_perm)
+                             interleave_cols)
 
     aggs = tuple(aggregators)
     if any(a not in ("sum", "add", "mean") for a in aggs):
@@ -347,5 +347,5 @@ def gt_attention_pallas(
                           edge_dst.astype(jnp.int32), npad, max_in_degree,
                           aggs, num_heads)
     if len(aggs) > 1:
-        out = out[:, interleave_perm(num_heads, dh, len(aggs))]
+        out = interleave_cols(out, num_heads, dh, len(aggs))
     return out.astype(q.dtype), eij

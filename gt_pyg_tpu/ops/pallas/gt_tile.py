@@ -544,7 +544,7 @@ def gt_attention_tile(
     """Tile-fused gt_attention (same contract as the lax path; requires
     a tile-packed batch). Returns (node_out [Np, hidden*A] in reference
     [h][a][d] layout, eij [Ep, hidden] or None)."""
-    from ..attention import interleave_perm
+    from ..attention import interleave_cols
 
     npad, hidden = q.shape
     ep = edge_src.shape[0]
@@ -588,5 +588,5 @@ def gt_attention_tile(
         keep, edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32))
 
     if len(aggs) > 1:
-        out = out[:, interleave_perm(heads, dh, len(aggs))]
+        out = interleave_cols(out, heads, dh, len(aggs))
     return out, (eij if has_edge else None)
