@@ -140,6 +140,7 @@ def measure(args, batch_graphs):
         gate=True, gt_aggregators=("sum", "mean"),
         aggregators=("sum", "mean", "max", "std"),
         attn_impl=args.attn_impl if args.attn_impl != "lax" else "lax",
+        ffn_impl=args.ffn_impl,
         dtype=jnp.bfloat16,
     )
     variables = init_on_host(model, batch, jax.random.PRNGKey(0))
@@ -211,6 +212,7 @@ def measure(args, batch_graphs):
     flops_step = 3 * model_flops_fwd(npad, ep, batch_graphs)
     return {
         "attn_impl": args.attn_impl,
+        "ffn_impl": args.ffn_impl,
         "batch_graphs": batch_graphs,
         "real_edges": real_edges,
         "real_nodes": int(batch.num_nodes),
@@ -232,6 +234,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--attn-impl", default="tile",
                    choices=["tile", "lax", "pallas"])
+    p.add_argument("--ffn-impl", default="auto",
+                   choices=["auto", "fused", "xla"])
     p.add_argument("--batch-graphs", type=int, default=2048)
     p.add_argument("--tile-edges", type=int, default=256)
     p.add_argument("--tile-pack", default="ffd",

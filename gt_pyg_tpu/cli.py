@@ -42,6 +42,11 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
                    help="'tile': fused per-tile Pallas kernel on "
                         "tile-packed batches (default); 'lax': XLA "
                         "reference path; 'pallas': v1 chunked kernel")
+    p.add_argument("--ffn-impl", default="auto",
+                   choices=["auto", "fused", "xla"],
+                   help="'auto': fused Pallas FFN block when computing in "
+                        "bf16 (kernel keeps the whole MLP+dropout+residual "
+                        "chain in VMEM); 'xla': always the MLP module")
     p.add_argument("--tile-edges", type=int, default=256,
                    help="edge rows per 128-node tile (tile impl only; 256 "
                         "measured fastest on v5e — packs edges 1.06x vs "
@@ -83,6 +88,7 @@ def _build_model(args, num_tasks: int, bn_axis_name=None):
         gt_aggregators=tuple(args.gt_aggregators.split(",")),
         aggregators=tuple(args.aggregators.split(",")),
         num_tasks=num_tasks, attn_impl=args.attn_impl,
+        ffn_impl=getattr(args, "ffn_impl", "auto"),
         bn_axis_name=bn_axis_name,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )

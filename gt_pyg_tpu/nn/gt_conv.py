@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from ..ops.attention import gt_attention
 from .dropout import Dropout
+from .ffn import FusedFFN
 from .init import xavier_uniform
 from .mlp import MLP
 from .norm import make_norm
@@ -46,9 +47,21 @@ class GTConv(nn.Module):
     act: str = "gelu"
     aggregators: Sequence[str] = ("sum",)
     attn_impl: str = "lax"
+    ffn_impl: str = "auto"      # "auto" | "fused" | "xla"
     max_in_degree: int = 16
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+
+    def _use_fused_ffn(self, rows: int) -> bool:
+        """Fused Pallas FFN: bf16 compute only (the f32 path is the
+        bit-faithful golden-parity reference) and kernel-tileable rows."""
+        from .ffn import ffn_shapes_supported
+
+        if self.ffn_impl == "xla":
+            return False
+        if self.ffn_impl == "fused":
+            return ffn_shapes_supported(rows)
+        return self.dtype == jnp.bfloat16 and ffn_shapes_supported(rows)
 
     def _validate(self):
         validate_dropout("dropout", self.dropout)
@@ -137,12 +150,23 @@ class GTConv(nn.Module):
 
         x1_norm = self.norm_fn("norm2", self.node_in_dim)(x1, node_mask, use_ra)
         node_ffn_hidden = max(self.hidden_dim, 4 * self.node_in_dim)
-        ffn_out = MLP(input_dim=self.node_in_dim, output_dim=self.node_in_dim,
-                      hidden_dims=node_ffn_hidden, num_hidden_layers=2,
-                      dropout=self.dropout, act=self.act, dtype=self.dtype,
-                      name="ffn")(x1_norm, deterministic=deterministic)
-        ffn_out = drop("dropout_ffn_out")(ffn_out, deterministic=deterministic)
-        x_out = x1 + ffn_out
+        if self._use_fused_ffn(x1_norm.shape[0]):
+            x_out = FusedFFN(input_dim=self.node_in_dim,
+                             output_dim=self.node_in_dim,
+                             hidden_dim=node_ffn_hidden,
+                             dropout=self.dropout, act=self.act,
+                             name="ffn")(x1_norm, x1,
+                                         deterministic=deterministic)
+        else:
+            ffn_out = MLP(input_dim=self.node_in_dim,
+                          output_dim=self.node_in_dim,
+                          hidden_dims=node_ffn_hidden, num_hidden_layers=2,
+                          dropout=self.dropout, act=self.act,
+                          dtype=self.dtype,
+                          name="ffn")(x1_norm, deterministic=deterministic)
+            ffn_out = drop("dropout_ffn_out")(ffn_out,
+                                              deterministic=deterministic)
+            x_out = x1 + ffn_out
 
         if self.edge_in_dim is None or edge_attr is None:
             return x_out, edge_attr
@@ -153,12 +177,21 @@ class GTConv(nn.Module):
         e1 = edge_attr + e_attn
         e1_norm = self.norm_fn("norm1e", self.edge_in_dim)(e1, edge_mask, use_ra)
         edge_ffn_hidden = max(self.hidden_dim, 2 * self.edge_in_dim)
-        e_ffn = MLP(input_dim=self.edge_in_dim, output_dim=self.edge_in_dim,
-                    hidden_dims=edge_ffn_hidden, num_hidden_layers=2,
-                    dropout=self.dropout, act=self.act, dtype=self.dtype,
-                    name="ffn_e")(e1_norm, deterministic=deterministic)
-        e_ffn = drop("dropout_e_ffn")(e_ffn, deterministic=deterministic)
-        edge_out = e1 + e_ffn
+        if self._use_fused_ffn(e1_norm.shape[0]):
+            edge_out = FusedFFN(input_dim=self.edge_in_dim,
+                                output_dim=self.edge_in_dim,
+                                hidden_dim=edge_ffn_hidden,
+                                dropout=self.dropout, act=self.act,
+                                name="ffn_e")(e1_norm, e1,
+                                              deterministic=deterministic)
+        else:
+            e_ffn = MLP(input_dim=self.edge_in_dim,
+                        output_dim=self.edge_in_dim,
+                        hidden_dims=edge_ffn_hidden, num_hidden_layers=2,
+                        dropout=self.dropout, act=self.act, dtype=self.dtype,
+                        name="ffn_e")(e1_norm, deterministic=deterministic)
+            e_ffn = drop("dropout_e_ffn")(e_ffn, deterministic=deterministic)
+            edge_out = e1 + e_ffn
 
         return x_out, edge_out
 

@@ -65,6 +65,7 @@ class GraphTransformerNet(nn.Module):
     head_dropout: Optional[float] = None
     # TPU-specific knobs (not part of the reference config surface)
     attn_impl: str = "lax"
+    ffn_impl: str = "auto"
     max_in_degree: int = 16
     max_nodes_per_graph: int = 128
     bn_axis_name: Optional[str] = None
@@ -161,6 +162,7 @@ class GraphTransformerNet(nn.Module):
                 qkv_bias=self.qkv_bias,
                 aggregators=tuple(self.gt_aggregators),
                 attn_impl=self.attn_impl,
+                ffn_impl=self.ffn_impl,
                 max_in_degree=self.max_in_degree,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,

@@ -1,0 +1,368 @@
+"""Fused pre-norm FFN block kernel (fwd + custom VJP).
+
+Fuses GTConv's FFN tail — ``MLP(Din→H→H→Dout)`` with per-block
+activation+dropout, the post-MLP dropout, and the residual add
+(reference ``gt_pyg/nn/gt_conv.py:317-321,338-341`` and ``mlp.py:160-175``)
+— into one Pallas kernel per direction over row blocks.
+
+Why: at the flagship batch each FFN runs as 3 XLA matmul fusions that
+round-trip [R,512] activations (and their saved copies for autodiff)
+through HBM — profiled at ~2.5 ms/layer of the v5e train step. Here the
+whole chain stays in VMEM per row block; the backward recomputes the
+two hidden activations from the block inputs (FLOPs are free at these
+shapes — the step is bandwidth-bound) and accumulates weight gradients
+in VMEM across the sequential grid.
+
+Dropout masks are generated OUTSIDE the kernel as u8 bytes (one byte
+per element, the same quantized-keep scheme as
+:class:`gt_pyg_tpu.nn.dropout.Dropout`) and passed in: byte traffic is
+~3% of the activation traffic, the backward reuses the identical mask
+arrays (no regeneration-consistency hazard), and the kernel stays fully
+testable in CPU interpret mode (``pltpu.prng_*`` has no CPU lowering).
+
+Weight gradients are accumulated in f32 VMEM blocks with a constant
+index map over the (sequential) grid — the standard Pallas reduction
+pattern; dL/db rides the same accumulators as an extra row.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+
+def _should_interpret() -> bool:
+    import os
+
+    if os.environ.get("GT_TPU_FORCE_INTERPRET", "0") == "1":
+        return True
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7).
+
+    Mosaic has no erf/erfc lowering (only exp/tanh/logistic), so the
+    exact-GELU path uses this polynomial — below bf16 resolution, and
+    ~1e-7 off the libm erf in f32.
+    """
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0, -y, y)
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
+
+
+def _resolve_act(act: str):
+    if (act or "").lower() == "gelu":
+        return _gelu_exact
+    from ...nn.act import resolve_activation
+
+    return resolve_activation(act)
+
+
+def _apply_mask(x, mask_ref, thresh, row_sl, training):
+    """x * (mask<thresh)/keep_q in f32; identity when not training."""
+    if not training:
+        return x
+    keep_q = thresh / 256.0
+    m = mask_ref[row_sl] < jnp.uint8(thresh)
+    return jnp.where(m, x * (1.0 / keep_q), 0.0)
+
+
+# cfg: (din, h, dout, act, thresh, out_thresh, training, rb, g_rows)
+def _fwd_body(cfg, refs):
+    din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
+    act_fn = _resolve_act(act)
+    i = iter(refs)
+    xn_ref, xres_ref = next(i), next(i)
+    w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref = (
+        next(i), next(i), next(i), next(i), next(i), next(i))
+    if training:
+        m0_ref, m1_ref, m3_ref = next(i), next(i), next(i)
+    out_ref = next(i)
+
+    w0, w1, w2 = w0_ref[:], w1_ref[:], w2_ref[:]
+    b0 = b0_ref[:].astype(_F32)
+    b1 = b1_ref[:].astype(_F32)
+    b2 = b2_ref[:].astype(_F32)
+
+    for g in range(g_rows):
+        sl = pl.ds(g * rb, rb)
+        xn = xn_ref[sl]
+        z0 = jax.lax.dot(xn, w0, preferred_element_type=_F32) + b0
+        h0 = act_fn(z0)
+        if training:
+            h0 = _apply_mask(h0, m0_ref, thresh, sl, training)
+        h0 = h0.astype(xn.dtype)
+        z1 = jax.lax.dot(h0, w1, preferred_element_type=_F32) + b1
+        h1 = act_fn(z1)
+        if training:
+            h1 = _apply_mask(h1, m1_ref, thresh, sl, training)
+        h1 = h1.astype(xn.dtype)
+        y = jax.lax.dot(h1, w2, preferred_element_type=_F32) + b2
+        if training:
+            y = _apply_mask(y, m3_ref, out_thresh, sl, training)
+        out_ref[sl] = (xres_ref[sl].astype(_F32)
+                       + y).astype(out_ref.dtype)
+
+
+def _bwd_body(cfg, refs):
+    din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
+    act_fn = _resolve_act(act)
+    i = iter(refs)
+    xn_ref, xres_ref = next(i), next(i)
+    w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref = (
+        next(i), next(i), next(i), next(i), next(i), next(i))
+    if training:
+        m0_ref, m1_ref, m3_ref = next(i), next(i), next(i)
+    g_out_ref = next(i)
+    gxn_ref = next(i)
+    gw0_ref, gw1_ref, gw2_ref = next(i), next(i), next(i)
+
+    w0, w1, w2 = w0_ref[:], w1_ref[:], w2_ref[:]
+    b0 = b0_ref[:].astype(_F32)
+    b1 = b1_ref[:].astype(_F32)
+    b2 = b2_ref[:].astype(_F32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw0_ref[:] = jnp.zeros_like(gw0_ref)
+        gw1_ref[:] = jnp.zeros_like(gw1_ref)
+        gw2_ref[:] = jnp.zeros_like(gw2_ref)
+
+    for g in range(g_rows):
+        sl = pl.ds(g * rb, rb)
+        xn = xn_ref[sl]
+        md = xn.dtype
+        # ---- recompute forward chain (keeps pre-act z for act')
+        z0 = jax.lax.dot(xn, w0, preferred_element_type=_F32) + b0
+
+        def act_bwd(z, g_after):
+            """act'(z) ⊙ g_after via jvp (exact for erf-gelu etc.)."""
+            _, t = jax.jvp(act_fn, (z,), (g_after,))
+            return t
+
+        h0 = act_fn(z0)
+        if training:
+            h0 = _apply_mask(h0, m0_ref, thresh, sl, training)
+        h0 = h0.astype(md)
+        z1 = jax.lax.dot(h0, w1, preferred_element_type=_F32) + b1
+        h1 = act_fn(z1)
+        if training:
+            h1 = _apply_mask(h1, m1_ref, thresh, sl, training)
+        h1 = h1.astype(md)
+
+        # ---- reverse
+        g_y = g_out_ref[sl].astype(_F32)
+        if training:
+            g_y = _apply_mask(g_y, m3_ref, out_thresh, sl, training)
+        g_y = g_y.astype(md)
+        # dW2 rows: [H, Dout] = h1ᵀ g_y ; bias rides as an extra row via
+        # the ones column trick is unnecessary — accumulate separately
+        gw2_ref[:h, :] += jax.lax.dot_general(
+            h1, g_y, (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32)
+        gw2_ref[h:, :] += jnp.sum(g_y.astype(_F32), axis=0,
+                                  keepdims=True)
+        g_h1 = jax.lax.dot_general(
+            g_y, w2, (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32)
+        if training:
+            g_h1 = _apply_mask(g_h1, m1_ref, thresh, sl, training)
+        g_z1 = act_bwd(z1, g_h1).astype(md)
+        gw1_ref[:h, :] += jax.lax.dot_general(
+            h0, g_z1, (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32)
+        gw1_ref[h:, :] += jnp.sum(g_z1.astype(_F32), axis=0,
+                                  keepdims=True)
+        g_h0 = jax.lax.dot_general(
+            g_z1, w1, (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32)
+        if training:
+            g_h0 = _apply_mask(g_h0, m0_ref, thresh, sl, training)
+        g_z0 = act_bwd(z0, g_h0).astype(md)
+        gw0_ref[:din, :] += jax.lax.dot_general(
+            xn, g_z0, (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32)
+        gw0_ref[din:, :] += jnp.sum(g_z0.astype(_F32), axis=0,
+                                    keepdims=True)
+        gxn_ref[sl] = jax.lax.dot_general(
+            g_z0, w0, (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32).astype(gxn_ref.dtype)
+
+
+def _row_block(cfg, width, dtype_ignored=None):
+    rb, g_rows = cfg[7], cfg[8]
+    return pl.BlockSpec((g_rows * rb, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _full_block(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _collect(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
+    din, h, dout = cfg[0], cfg[1], cfg[2]
+    training = cfg[6]
+    arrays = [xn, xres, w0, b0.reshape(1, -1), w1, b1.reshape(1, -1),
+              w2, b2.reshape(1, -1)]
+    specs = [_row_block(cfg, din), _row_block(cfg, dout),
+             _full_block((din, h)), _full_block((1, h)),
+             _full_block((h, h)), _full_block((1, h)),
+             _full_block((h, dout)), _full_block((1, dout))]
+    if training:
+        arrays += [m0, m1, m3]
+        specs += [_row_block(cfg, h), _row_block(cfg, h),
+                  _row_block(cfg, dout)]
+    return arrays, specs
+
+
+def _pick_rows(n_rows: int, want: int, rb: int) -> int:
+    g = max(1, min(want, n_rows // rb))
+    while (n_rows // rb) % g:
+        g -= 1
+    return g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
+    din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
+    R = xn.shape[0]
+    arrays, in_specs = _collect(cfg, xn, xres, w0, b0, w1, b1, w2, b2,
+                                m0, m1, m3)
+    out = pl.pallas_call(
+        functools.partial(lambda c, *refs: _fwd_body(c, refs), cfg),
+        grid=(R // (rb * g_rows),),
+        in_specs=in_specs,
+        out_specs=_row_block(cfg, dout),
+        out_shape=jax.ShapeDtypeStruct((R, dout), xres.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * (din * h + h * h + h * dout),
+            bytes_accessed=R * (din + 2 * dout) * 2,
+            transcendentals=R * 2 * h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
+        interpret=_should_interpret(),
+    )(*arrays)
+    return out
+
+
+def _ffn_fwd(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
+    out = _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3)
+    return out, (xn, w0, b0, w1, b1, w2, b2, m0, m1, m3)
+
+
+def _ffn_bwd(cfg, res, g_out):
+    din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
+    xn, w0, b0, w1, b1, w2, b2, m0, m1, m3 = res
+    R = xn.shape[0]
+    # xres is not needed by the backward (g_xres = g_out): pass a dummy
+    # row-block input of the right shape to reuse _collect
+    arrays, in_specs = _collect(cfg, xn, g_out, w0, b0, w1, b1, w2, b2,
+                                m0, m1, m3)
+    arrays.append(g_out)
+    in_specs.append(_row_block(cfg, dout))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((R, din), xn.dtype),            # g_xn
+        jax.ShapeDtypeStruct((din + 1, h), _F32),            # gW0 | gb0
+        jax.ShapeDtypeStruct((h + 1, h), _F32),              # gW1 | gb1
+        jax.ShapeDtypeStruct((h + 1, dout), _F32),           # gW2 | gb2
+    ]
+    out_specs = [
+        _row_block(cfg, din),
+        _full_block((din + 1, h)),
+        _full_block((h + 1, h)),
+        _full_block((h + 1, dout)),
+    ]
+    res_out = pl.pallas_call(
+        functools.partial(lambda c, *refs: _bwd_body(c, refs), cfg),
+        grid=(R // (rb * g_rows),),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * R * (din * h + h * h + h * dout),
+            bytes_accessed=R * (2 * din + 2 * dout) * 2,
+            transcendentals=R * 4 * h),
+        interpret=_should_interpret(),
+    )(*arrays)
+    g_xn, gw0, gw1, gw2 = res_out
+    return (g_xn, g_out,
+            gw0[:din].astype(w0.dtype), gw0[din].astype(b0.dtype),
+            gw1[:h].astype(w1.dtype), gw1[h].astype(b1.dtype),
+            gw2[:h].astype(w2.dtype), gw2[h].astype(b2.dtype),
+            jnp.zeros_like(m0), jnp.zeros_like(m1), jnp.zeros_like(m3))
+
+
+_ffn_core.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+def fused_ffn(
+    xn: jnp.ndarray,             # [R, Din] normalized input
+    xres: jnp.ndarray,           # [R, Dout] residual stream
+    w0: jnp.ndarray, b0: jnp.ndarray,       # [Din, H], [H]
+    w1: jnp.ndarray, b1: jnp.ndarray,       # [H, H], [H]
+    w2: jnp.ndarray, b2: jnp.ndarray,       # [H, Dout], [Dout]
+    act: str = "gelu",
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    rows_per_block: int = 512,
+    blocks_per_step: int = 2,
+) -> jnp.ndarray:
+    """out = xres + drop(W2·drop(act(W1·drop(act(W0·xn))))).
+
+    Weights are cast to ``xn.dtype`` outside the kernel (XLA fuses the
+    casts); weight/bias gradients accumulate in f32. Dropout masks are
+    u8 bytes generated here (3 draws from ``dropout_rng``) with the
+    keep probability quantized to 1/256 exactly like
+    :class:`gt_pyg_tpu.nn.dropout.Dropout`.
+    """
+    R, din = xn.shape
+    h = w0.shape[1]
+    dout = w2.shape[1]
+    training = dropout_rate > 0.0 and dropout_rng is not None
+    thresh = max(1, min(255, int(round((1.0 - dropout_rate) * 256.0))))
+
+    rb = rows_per_block
+    while rb >= 16 and R % rb:
+        rb //= 2
+    if R % rb or rb < 16:
+        raise ValueError(
+            f"rows {R} not divisible by a bf16-tileable block "
+            f"(<= {rows_per_block}); pad rows to a multiple of 16")
+    g_rows = _pick_rows(R, blocks_per_step, rb)
+    cfg = (din, h, dout, act, thresh, thresh, training, rb, g_rows)
+
+    cdtype = xn.dtype
+    w0c, w1c, w2c = (w.astype(cdtype) for w in (w0, w1, w2))
+    if training:
+        k0, k1, k2 = jax.random.split(dropout_rng, 3)
+        m0 = jax.random.bits(k0, (R, h), dtype=jnp.uint8)
+        m1 = jax.random.bits(k1, (R, h), dtype=jnp.uint8)
+        m3 = jax.random.bits(k2, (R, dout), dtype=jnp.uint8)
+    else:
+        zu = jnp.zeros((1,), jnp.uint8)
+        m0 = m1 = m3 = zu
+    return _ffn_core(cfg, xn, xres.astype(cdtype), w0c,
+                     b0.astype(_F32), w1c, b1.astype(_F32), w2c,
+                     b2.astype(_F32), m0, m1, m3)

@@ -109,6 +109,8 @@ def init_on_host(model, sample_batch, rng):
     backend used here."""
     if getattr(model, "attn_impl", "lax") != "lax":
         model = model.clone(attn_impl="lax")
+    if getattr(model, "ffn_impl", "xla") != "xla":
+        model = model.clone(ffn_impl="xla")
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
