@@ -83,7 +83,9 @@ def _apply_mask(x, mask_ref, thresh, row_sl, training):
     if not training:
         return x
     keep_q = thresh / 256.0
-    m = mask_ref[row_sl] < jnp.uint8(thresh)
+    # Compare in i32: Mosaic has no i8 vector cmpi lowering on v5e
+    # (interpret mode accepts it, hardware compile fails).
+    m = mask_ref[row_sl].astype(jnp.int32) < thresh
     return jnp.where(m, x * (1.0 / keep_q), 0.0)
 
 
@@ -260,7 +262,8 @@ def _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
             bytes_accessed=R * (din + 2 * dout) * 2,
             transcendentals=R * 2 * h),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_should_interpret(),
     )(*arrays)
     return out
@@ -275,6 +278,14 @@ def _ffn_bwd(cfg, res, g_out):
     din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
     xn, w0, b0, w1, b1, w2, b2, m0, m1, m3 = res
     R = xn.shape[0]
+    # The backward keeps ~3x the forward's f32 intermediates live per
+    # row block (recompute + grads); halve the row block to stay inside
+    # scoped VMEM on v5e.
+    rb = max(16, rb // 2)
+    while rb >= 16 and R % rb:
+        rb //= 2
+    g_rows = _pick_rows(R, g_rows, rb)
+    cfg = (din, h, dout, act, thresh, out_thresh, training, rb, g_rows)
     # xres is not needed by the backward (g_xres = g_out): pass a dummy
     # row-block input of the right shape to reuse _collect
     arrays, in_specs = _collect(cfg, xn, g_out, w0, b0, w1, b1, w2, b2,
@@ -304,6 +315,8 @@ def _ffn_bwd(cfg, res, g_out):
             flops=6 * R * (din * h + h * h + h * dout),
             bytes_accessed=R * (2 * din + 2 * dout) * 2,
             transcendentals=R * 4 * h),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_should_interpret(),
     )(*arrays)
     g_xn, gw0, gw1, gw2 = res_out
