@@ -141,6 +141,7 @@ def measure(args, batch_graphs):
         aggregators=("sum", "mean", "max", "std"),
         attn_impl=args.attn_impl if args.attn_impl != "lax" else "lax",
         ffn_impl=args.ffn_impl,
+        norm_fold=args.norm_fold,
         dtype=jnp.bfloat16,
     )
     variables = init_on_host(model, batch, jax.random.PRNGKey(0))
@@ -171,7 +172,15 @@ def measure(args, batch_graphs):
 
         (loss, nb), grads = jax.value_and_grad(f, has_aux=True)(params)
         updates, no = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), nb, no, loss
+        new_params = optax.apply_updates(params, updates)
+        # production guard (train/trainer.py): skip the update on a
+        # non-finite gradient so one bad step can't poison the params —
+        # lr=1e-3 on a single repeated batch spikes occasionally
+        ok = jnp.isfinite(optax.global_norm(grads))
+        new_params, no, nb = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b),
+            (new_params, no, nb), (params, opt_state, bstats))
+        return new_params, nb, no, loss
 
     params, bstats = variables["params"], variables.get("batch_stats", {})
     # rbg keys are the framework default: threefry key derivation measured
@@ -184,7 +193,7 @@ def measure(args, batch_graphs):
     t_c = time.time()
     params, bstats, opt_state, loss = train_step(params, bstats, opt_state,
                                                  jb, rng)
-    loss_val = float(loss)
+    loss_first = float(loss)
     t_compile = time.time() - t_c
     print(f"# compile+first {t_compile:.1f}s", file=sys.stderr, flush=True)
 
@@ -225,8 +234,10 @@ def measure(args, batch_graphs):
         "flops_per_step_est": flops_step,
         "mfu_vs_v5e_bf16_peak": round(
             flops_step / dt / V5E_BF16_PEAK_FLOPS, 4),
+        "norm_fold": args.norm_fold,
         "compile_s": round(t_compile, 1),
-        "loss": loss_val,
+        "loss_first": loss_first,
+        "loss_last": loss_val,
     }
 
 
@@ -236,6 +247,8 @@ def main():
                    choices=["tile", "lax", "pallas"])
     p.add_argument("--ffn-impl", default="auto",
                    choices=["auto", "fused", "xla"])
+    p.add_argument("--norm-fold", default="auto",
+                   choices=["auto", "on", "off"])
     p.add_argument("--batch-graphs", type=int, default=2048)
     p.add_argument("--tile-edges", type=int, default=256)
     p.add_argument("--tile-pack", default="ffd",

@@ -24,18 +24,23 @@ from .init import kaiming_uniform, xavier_uniform
 
 
 class _LinearParams(nn.Module):
-    """Declares nn.Dense-compatible {kernel, bias} without computing."""
+    """Declares nn.Dense-compatible {kernel, bias} without computing.
+
+    Param paths/shapes/initializers match ``nn.Dense(features,
+    name=...)`` exactly, so checkpoints swap freely between this and a
+    real Dense module."""
 
     in_features: int
     features: int
     kernel_init: object
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", self.kernel_init,
                        (self.in_features, self.features), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.features,),
-                       jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32) if self.use_bias else None)
         return k, b
 
 
@@ -47,7 +52,13 @@ class FusedFFN(nn.Module):
     act: str = "gelu"
 
     @nn.compact
-    def __call__(self, xn, xres, deterministic: bool = True):
+    def __call__(self, xn, xres, deterministic: bool = True,
+                 affine=None):
+        """``affine=(a, b)`` folds a pre-norm ``xn*a + b`` into W0/b0
+        (``w0' = a[:,None]*w0``, ``b0' = b@w0 + b0``) and runs the
+        kernel in same-input mode: ``xn`` must then be the RAW residual
+        stream (``xres`` is ignored) — one HBM read instead of a
+        normalize pass plus two reads."""
         from ..ops.pallas.ffn import fused_ffn
 
         act_lower = (self.act or "").lower()
@@ -62,6 +73,11 @@ class FusedFFN(nn.Module):
         rng = None
         if not deterministic and self.dropout > 0.0:
             rng = self.make_rng("dropout")
+        if affine is not None:
+            a, b = affine
+            b0 = b0 + b @ w0
+            w0 = w0 * a[:, None]
+            xres = None
         return fused_ffn(xn, xres, w0, b0, w1, b1, w2, b2,
                          act=self.act, dropout_rate=self.dropout,
                          dropout_rng=rng)

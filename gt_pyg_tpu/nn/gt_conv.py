@@ -28,10 +28,10 @@ from flax import linen as nn
 
 from ..ops.attention import gt_attention
 from .dropout import Dropout
-from .ffn import FusedFFN
+from .ffn import FusedFFN, _LinearParams
 from .init import xavier_uniform
 from .mlp import MLP
-from .norm import make_norm
+from .norm import _BN_NAMES, make_norm
 from .utils import validate_aggregators, validate_dropout
 
 
@@ -48,6 +48,7 @@ class GTConv(nn.Module):
     aggregators: Sequence[str] = ("sum",)
     attn_impl: str = "lax"
     ffn_impl: str = "auto"      # "auto" | "fused" | "xla"
+    norm_fold: str = "auto"     # "auto" | "on" | "off"
     max_in_degree: int = 16
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -62,6 +63,52 @@ class GTConv(nn.Module):
         if self.ffn_impl == "fused":
             return ffn_shapes_supported(rows)
         return self.dtype == jnp.bfloat16 and ffn_shapes_supported(rows)
+
+    def _fold_norms(self) -> bool:
+        """Fold BatchNorm affines into the following projections
+        (``(x*a+b) @ W == x @ (a·W) + b@W`` — exact up to rounding),
+        removing every per-layer elementwise normalize pass over HBM.
+        BatchNorm only (LayerNorm's scale is per-row); 'auto' folds
+        under bf16 compute, keeping the f32 path bit-faithful to the
+        golden-parity reference."""
+        if self.norm_fold == "off":
+            return False
+        if self.norm.lower() not in _BN_NAMES:
+            return False
+        if self.norm_fold == "on":
+            return True
+        return self.dtype == jnp.bfloat16
+
+    def _merged_proj(self, x, in_features, specs):
+        """Several Dense-equivalent projections of one input as a single
+        matmul (XLA keeps separate [128,128] matmuls as separate HBM
+        round-trips over x; merged they read x once and hit the MXU with
+        a wider RHS). ``specs``: (name, features, use_bias, affine);
+        a non-None affine ``(a, b)`` folds a pre-norm into that kernel.
+        Param paths/shapes/inits are identical to the per-name
+        ``nn.Dense`` modules they replace."""
+        kernels, biases = [], []
+        for name, feats, use_bias, affine in specs:
+            kk, bb = _LinearParams(in_features, feats, xavier_uniform(),
+                                   use_bias=use_bias, name=name)()
+            bias = bb if bb is not None else jnp.zeros((feats,),
+                                                       jnp.float32)
+            if affine is not None:
+                a, b = affine
+                bias = bias + b @ kk
+                kk = kk * a[:, None]
+            kernels.append(kk)
+            biases.append(bias)
+        w = (jnp.concatenate(kernels, axis=1) if len(kernels) > 1
+             else kernels[0])
+        bias = (jnp.concatenate(biases) if len(biases) > 1 else biases[0])
+        y = (jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
+             + bias.astype(self.dtype))
+        outs, off = [], 0
+        for _, feats, _, _ in specs:
+            outs.append(y[:, off:off + feats])
+            off += feats
+        return outs
 
     def _validate(self):
         validate_dropout("dropout", self.dropout)
@@ -100,30 +147,61 @@ class GTConv(nn.Module):
             feats, use_bias=use_bias, kernel_init=xavier_uniform(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name=name)
         use_ra = deterministic
+        fold = self._fold_norms()
 
         x_res = x
-        x_norm = self.norm_fn("norm1", self.node_in_dim)(x_res, node_mask, use_ra)
-
         # all projections stay 2-D [rows, hidden] — per-head structure is
         # handled inside gt_attention via indicator matmuls (a [*, H, Dh]
-        # layout with Dh=16 would pad to 128 lanes and 8x the HBM traffic)
-        q = dense(self.hidden_dim, "WQ", self.qkv_bias)(x_norm)
-        k = dense(self.hidden_dim, "WK", self.qkv_bias)(x_norm)
-        v = dense(self.hidden_dim, "WV", self.qkv_bias)(x_norm)
-
-        gate_n = None
+        # layout with Dh=16 would pad to 128 lanes and 8x the HBM traffic).
+        # Q/K/V(+gate) run as ONE merged matmul; under norm folding the
+        # norm1 affine rides the merged kernel and the normalize pass
+        # never materializes.
+        norm1 = self.norm_fn("norm1", self.node_in_dim)
+        if fold:
+            affine1 = norm1(x_res, node_mask, use_ra, return_affine=True)
+            qkv_in = x_res
+        else:
+            affine1 = None
+            qkv_in = norm1(x_res, node_mask, use_ra)
+        qkv_specs = [("WQ", self.hidden_dim, self.qkv_bias, affine1),
+                     ("WK", self.hidden_dim, self.qkv_bias, affine1),
+                     ("WV", self.hidden_dim, self.qkv_bias, affine1)]
         if self.gate:
-            gate_n = dense(self.hidden_dim, "n_gate")(x_norm)
+            qkv_specs.append(("n_gate", self.hidden_dim, True, affine1))
+        proj = self._merged_proj(qkv_in, self.node_in_dim, qkv_specs)
+        q, k, v = proj[0], proj[1], proj[2]
+        gate_n = proj[3] if self.gate else None
 
         e_bias = e_val = e_gate_logits = None
         if self.edge_in_dim is not None:
-            edge_attr_norm = self.norm_fn("norm0e", self.edge_in_dim)(
-                edge_attr, edge_mask, use_ra)
-            e_val = dense(self.hidden_dim, "WE_value")(edge_attr_norm)
-            # bias/gate read the RAW per-layer edge state (gt_conv.py:367,386)
-            e_bias = dense(H, "WE_logits")(edge_attr)
-            if self.gate:
-                e_gate_logits = dense(H, "e_gate")(edge_attr)
+            # bias/gate read the RAW per-layer edge state
+            # (gt_conv.py:367,386); E_val the norm0e'd state (:300-301).
+            # Under folding all three share one matmul on the raw state
+            # (the affine folds into WE_value's kernel only).
+            norm0e = self.norm_fn("norm0e", self.edge_in_dim)
+            if fold:
+                affine0e = norm0e(edge_attr, edge_mask, use_ra,
+                                  return_affine=True)
+                e_specs = [("WE_value", self.hidden_dim, True, affine0e),
+                           ("WE_logits", H, True, None)]
+                if self.gate:
+                    e_specs.append(("e_gate", H, True, None))
+                eproj = self._merged_proj(edge_attr, self.edge_in_dim,
+                                          e_specs)
+                e_val, e_bias = eproj[0], eproj[1]
+                e_gate_logits = eproj[2] if self.gate else None
+            else:
+                edge_attr_norm = norm0e(edge_attr, edge_mask, use_ra)
+                (e_val,) = self._merged_proj(
+                    edge_attr_norm, self.edge_in_dim,
+                    [("WE_value", self.hidden_dim, True, None)])
+                raw_specs = [("WE_logits", H, True, None)]
+                if self.gate:
+                    raw_specs.append(("e_gate", H, True, None))
+                rproj = self._merged_proj(edge_attr, self.edge_in_dim,
+                                          raw_specs)
+                e_bias = rproj[0]
+                e_gate_logits = rproj[1] if self.gate else None
 
         attn_rng = None
         if not deterministic and self.dropout > 0.0:
@@ -148,16 +226,23 @@ class GTConv(nn.Module):
         attn_out = drop("dropout_attn_out")(attn_out, deterministic=deterministic)
         x1 = x_res + attn_out
 
-        x1_norm = self.norm_fn("norm2", self.node_in_dim)(x1, node_mask, use_ra)
+        norm2 = self.norm_fn("norm2", self.node_in_dim)
         node_ffn_hidden = max(self.hidden_dim, 4 * self.node_in_dim)
-        if self._use_fused_ffn(x1_norm.shape[0]):
-            x_out = FusedFFN(input_dim=self.node_in_dim,
-                             output_dim=self.node_in_dim,
-                             hidden_dim=node_ffn_hidden,
-                             dropout=self.dropout, act=self.act,
-                             name="ffn")(x1_norm, x1,
-                                         deterministic=deterministic)
+        if self._use_fused_ffn(x1.shape[0]):
+            ffn_mod = FusedFFN(input_dim=self.node_in_dim,
+                               output_dim=self.node_in_dim,
+                               hidden_dim=node_ffn_hidden,
+                               dropout=self.dropout, act=self.act,
+                               name="ffn")
+            if fold:
+                affine2 = norm2(x1, node_mask, use_ra, return_affine=True)
+                x_out = ffn_mod(x1, None, deterministic=deterministic,
+                                affine=affine2)
+            else:
+                x1_norm = norm2(x1, node_mask, use_ra)
+                x_out = ffn_mod(x1_norm, x1, deterministic=deterministic)
         else:
+            x1_norm = norm2(x1, node_mask, use_ra)
             ffn_out = MLP(input_dim=self.node_in_dim,
                           output_dim=self.node_in_dim,
                           hidden_dims=node_ffn_hidden, num_hidden_layers=2,
@@ -168,6 +253,15 @@ class GTConv(nn.Module):
                                               deterministic=deterministic)
             x_out = x1 + ffn_out
 
+        # zero padding rows at the layer boundary: trash-slot rows would
+        # otherwise accumulate unbounded garbage through the residual+FFN
+        # chain layer over layer (harmless to real rows' values, but once
+        # a padding activation overflows, 0*inf = NaN leaks into WEIGHT
+        # gradients, which sum over all rows — observed as training NaNs
+        # at lr=1e-3 after ~40 steps on v5e)
+        if node_mask is not None:
+            x_out = x_out * node_mask[:, None].astype(x_out.dtype)
+
         if self.edge_in_dim is None or edge_attr is None:
             return x_out, edge_attr
 
@@ -175,16 +269,26 @@ class GTConv(nn.Module):
         e_attn = dense(self.edge_in_dim, "WOe")(eij)
         e_attn = drop("dropout_e_attn")(e_attn, deterministic=deterministic)
         e1 = edge_attr + e_attn
-        e1_norm = self.norm_fn("norm1e", self.edge_in_dim)(e1, edge_mask, use_ra)
+        norm1e = self.norm_fn("norm1e", self.edge_in_dim)
         edge_ffn_hidden = max(self.hidden_dim, 2 * self.edge_in_dim)
-        if self._use_fused_ffn(e1_norm.shape[0]):
-            edge_out = FusedFFN(input_dim=self.edge_in_dim,
-                                output_dim=self.edge_in_dim,
-                                hidden_dim=edge_ffn_hidden,
-                                dropout=self.dropout, act=self.act,
-                                name="ffn_e")(e1_norm, e1,
-                                              deterministic=deterministic)
+        if self._use_fused_ffn(e1.shape[0]):
+            ffn_e_mod = FusedFFN(input_dim=self.edge_in_dim,
+                                 output_dim=self.edge_in_dim,
+                                 hidden_dim=edge_ffn_hidden,
+                                 dropout=self.dropout, act=self.act,
+                                 name="ffn_e")
+            if fold:
+                affine1e = norm1e(e1, edge_mask, use_ra,
+                                  return_affine=True)
+                edge_out = ffn_e_mod(e1, None,
+                                     deterministic=deterministic,
+                                     affine=affine1e)
+            else:
+                e1_norm = norm1e(e1, edge_mask, use_ra)
+                edge_out = ffn_e_mod(e1_norm, e1,
+                                     deterministic=deterministic)
         else:
+            e1_norm = norm1e(e1, edge_mask, use_ra)
             e_ffn = MLP(input_dim=self.edge_in_dim,
                         output_dim=self.edge_in_dim,
                         hidden_dims=edge_ffn_hidden, num_hidden_layers=2,
@@ -192,6 +296,9 @@ class GTConv(nn.Module):
                         name="ffn_e")(e1_norm, deterministic=deterministic)
             e_ffn = drop("dropout_e_ffn")(e_ffn, deterministic=deterministic)
             edge_out = e1 + e_ffn
+
+        if edge_mask is not None:
+            edge_out = edge_out * edge_mask[:, None].astype(edge_out.dtype)
 
         return x_out, edge_out
 

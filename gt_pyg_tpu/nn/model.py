@@ -66,6 +66,7 @@ class GraphTransformerNet(nn.Module):
     # TPU-specific knobs (not part of the reference config surface)
     attn_impl: str = "lax"
     ffn_impl: str = "auto"
+    norm_fold: str = "auto"
     max_in_degree: int = 16
     max_nodes_per_graph: int = 128
     bn_axis_name: Optional[str] = None
@@ -163,6 +164,7 @@ class GraphTransformerNet(nn.Module):
                 aggregators=tuple(self.gt_aggregators),
                 attn_impl=self.attn_impl,
                 ffn_impl=self.ffn_impl,
+                norm_fold=self.norm_fold,
                 max_in_degree=self.max_in_degree,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,

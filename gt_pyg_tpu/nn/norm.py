@@ -31,7 +31,18 @@ class MaskedBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, use_running_average: bool = True):
+    def __call__(self, x, mask=None, use_running_average: bool = True,
+                 return_affine: bool = False):
+        """Normalize ``x`` (rows masked by ``mask`` for the moments).
+
+        With ``return_affine=True``, returns the per-feature affine pair
+        ``(a, b)`` (f32) such that ``norm(x) == x * a + b`` instead of
+        the normalized tensor — running-stats updates still happen. The
+        caller can then FOLD the normalization into a following matmul
+        (``x @ (a[:, None] * W) + (b @ W + bias)``), eliminating the
+        elementwise normalize pass over HBM entirely (BatchNorm is
+        affine in x once the batch moments are known; this is exact up
+        to float rounding)."""
         scale = self.param("scale", nn.initializers.ones, (self.num_features,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.num_features,),
@@ -87,6 +98,8 @@ class MaskedBatchNorm(nn.Module):
 
         a = jax.lax.rsqrt(var + self.eps) * scale      # f32 [F]
         b = bias - mean * a
+        if return_affine:
+            return a, b
         if fast:
             y = x * a.astype(x.dtype) + b.astype(x.dtype)
         else:

@@ -89,12 +89,17 @@ def _apply_mask(x, mask_ref, thresh, row_sl, training):
     return jnp.where(m, x * (1.0 / keep_q), 0.0)
 
 
-# cfg: (din, h, dout, act, thresh, out_thresh, training, rb, g_rows)
+# cfg: (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
+#       same_x) — same_x=True means the residual stream IS the kernel
+#       input (norm folded into W0 by the caller): one row-block input
+#       instead of two, halving the forward's activation reads.
 def _fwd_body(cfg, refs):
-    din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
+    (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
+     same_x) = cfg
     act_fn = _resolve_act(act)
     i = iter(refs)
-    xn_ref, xres_ref = next(i), next(i)
+    xn_ref = next(i)
+    xres_ref = xn_ref if same_x else next(i)
     w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref = (
         next(i), next(i), next(i), next(i), next(i), next(i))
     if training:
@@ -127,10 +132,13 @@ def _fwd_body(cfg, refs):
 
 
 def _bwd_body(cfg, refs):
-    din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
+    (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
+     same_x) = cfg
     act_fn = _resolve_act(act)
     i = iter(refs)
-    xn_ref, xres_ref = next(i), next(i)
+    xn_ref = next(i)
+    if not same_x:
+        next(i)          # xres slot (unused by the backward)
     w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref = (
         next(i), next(i), next(i), next(i), next(i), next(i))
     if training:
@@ -224,13 +232,15 @@ def _full_block(shape):
 
 def _collect(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
     din, h, dout = cfg[0], cfg[1], cfg[2]
-    training = cfg[6]
-    arrays = [xn, xres, w0, b0.reshape(1, -1), w1, b1.reshape(1, -1),
-              w2, b2.reshape(1, -1)]
-    specs = [_row_block(cfg, din), _row_block(cfg, dout),
-             _full_block((din, h)), _full_block((1, h)),
-             _full_block((h, h)), _full_block((1, h)),
-             _full_block((h, dout)), _full_block((1, dout))]
+    training, same_x = cfg[6], cfg[9]
+    arrays = [xn] + ([] if same_x else [xres]) + [
+        w0, b0.reshape(1, -1), w1, b1.reshape(1, -1),
+        w2, b2.reshape(1, -1)]
+    specs = [_row_block(cfg, din)] \
+        + ([] if same_x else [_row_block(cfg, dout)]) + [
+        _full_block((din, h)), _full_block((1, h)),
+        _full_block((h, h)), _full_block((1, h)),
+        _full_block((h, dout)), _full_block((1, dout))]
     if training:
         arrays += [m0, m1, m3]
         specs += [_row_block(cfg, h), _row_block(cfg, h),
@@ -247,7 +257,8 @@ def _pick_rows(n_rows: int, want: int, rb: int) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
-    din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
+    (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
+     same_x) = cfg
     R = xn.shape[0]
     arrays, in_specs = _collect(cfg, xn, xres, w0, b0, w1, b1, w2, b2,
                                 m0, m1, m3)
@@ -256,7 +267,8 @@ def _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
         grid=(R // (rb * g_rows),),
         in_specs=in_specs,
         out_specs=_row_block(cfg, dout),
-        out_shape=jax.ShapeDtypeStruct((R, dout), xres.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (R, dout), xn.dtype if same_x else xres.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * R * (din * h + h * h + h * dout),
             bytes_accessed=R * (din + 2 * dout) * 2,
@@ -271,12 +283,13 @@ def _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
 
 def _ffn_fwd(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
     out = _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3)
-    return out, (xn, w0, b0, w1, b1, w2, b2, m0, m1, m3)
+    return out, (xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3)
 
 
 def _ffn_bwd(cfg, res, g_out):
-    din, h, dout, act, thresh, out_thresh, training, rb, g_rows = cfg
-    xn, w0, b0, w1, b1, w2, b2, m0, m1, m3 = res
+    (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
+     same_x) = cfg
+    xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3 = res
     R = xn.shape[0]
     # The backward keeps ~3x the forward's f32 intermediates live per
     # row block (recompute + grads); halve the row block to stay inside
@@ -285,7 +298,8 @@ def _ffn_bwd(cfg, res, g_out):
     while rb >= 16 and R % rb:
         rb //= 2
     g_rows = _pick_rows(R, g_rows, rb)
-    cfg = (din, h, dout, act, thresh, out_thresh, training, rb, g_rows)
+    cfg = (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
+           same_x)
     # xres is not needed by the backward (g_xres = g_out): pass a dummy
     # row-block input of the right shape to reuse _collect
     arrays, in_specs = _collect(cfg, xn, g_out, w0, b0, w1, b1, w2, b2,
@@ -320,7 +334,14 @@ def _ffn_bwd(cfg, res, g_out):
         interpret=_should_interpret(),
     )(*arrays)
     g_xn, gw0, gw1, gw2 = res_out
-    return (g_xn, g_out,
+    if same_x:
+        # the residual stream IS xn: fold d(residual)=g_out into g_xn
+        # and hand the dummy xres slot a zero cotangent
+        g_xn = (g_xn.astype(_F32) + g_out.astype(_F32)).astype(g_xn.dtype)
+        g_xres = jnp.zeros_like(xres)
+    else:
+        g_xres = g_out
+    return (g_xn, g_xres,
             gw0[:din].astype(w0.dtype), gw0[din].astype(b0.dtype),
             gw1[:h].astype(w1.dtype), gw1[h].astype(b1.dtype),
             gw2[:h].astype(w2.dtype), gw2[h].astype(b2.dtype),
@@ -332,7 +353,8 @@ _ffn_core.defvjp(_ffn_fwd, _ffn_bwd)
 
 def fused_ffn(
     xn: jnp.ndarray,             # [R, Din] normalized input
-    xres: jnp.ndarray,           # [R, Dout] residual stream
+    xres: Optional[jnp.ndarray],  # [R, Dout] residual; None => xn IS the
+                                  # residual (norm folded into w0/b0)
     w0: jnp.ndarray, b0: jnp.ndarray,       # [Din, H], [H]
     w1: jnp.ndarray, b1: jnp.ndarray,       # [H, H], [H]
     w2: jnp.ndarray, b2: jnp.ndarray,       # [H, Dout], [Dout]
@@ -353,6 +375,11 @@ def fused_ffn(
     R, din = xn.shape
     h = w0.shape[1]
     dout = w2.shape[1]
+    same_x = xres is None
+    if same_x and din != dout:
+        raise ValueError(
+            f"xres=None (norm-folded residual) needs Din == Dout, got "
+            f"{din} != {dout}")
     training = dropout_rate > 0.0 and dropout_rng is not None
     thresh = max(1, min(255, int(round((1.0 - dropout_rate) * 256.0))))
 
@@ -364,7 +391,8 @@ def fused_ffn(
             f"rows {R} not divisible by a bf16-tileable block "
             f"(<= {rows_per_block}); pad rows to a multiple of 16")
     g_rows = _pick_rows(R, blocks_per_step, rb)
-    cfg = (din, h, dout, act, thresh, thresh, training, rb, g_rows)
+    cfg = (din, h, dout, act, thresh, thresh, training, rb, g_rows,
+           same_x)
 
     cdtype = xn.dtype
     w0c, w1c, w2c = (w.astype(cdtype) for w in (w0, w1, w2))
@@ -376,6 +404,8 @@ def fused_ffn(
     else:
         zu = jnp.zeros((1,), jnp.uint8)
         m0 = m1 = m3 = zu
-    return _ffn_core(cfg, xn, xres.astype(cdtype), w0c,
+    xres_in = (jnp.zeros((1,), cdtype) if same_x
+               else xres.astype(cdtype))
+    return _ffn_core(cfg, xn, xres_in, w0c,
                      b0.astype(_F32), w1c, b1.astype(_F32), w2c,
                      b2.astype(_F32), m0, m1, m3)

@@ -444,7 +444,10 @@ def _tile_core(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep, src,
         out_shape=out_shapes,
         cost_estimate=_cost(cfg, npad, ep, 6 + has_gate),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,),
+            # f32 (golden-parity) runs at G=8 need ~18MB scoped VMEM —
+            # over the 16MB default; v5e has 128MB physical
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_should_interpret(),
     )(*arrays)
     out = res[0]
@@ -500,7 +503,10 @@ def _tile_core_bwd(cfg, residuals, cotangents):
         out_shape=out_shapes,
         cost_estimate=_cost(cfg, npad, ep, 12 + 2 * has_gate),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,)),
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,),
+            # f32 (golden-parity) runs at G=8 need ~18MB scoped VMEM —
+            # over the 16MB default; v5e has 128MB physical
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_should_interpret(),
     )(*arrays)
 

@@ -21,8 +21,10 @@ V5E_HBM_BW = 8.19e11          # B/s
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--attn-impl", default="tile", choices=["tile", "lax"])
+    p.add_argument("--ffn-impl", default="auto",
+                   choices=["auto", "fused", "xla"])
     p.add_argument("--batch-graphs", type=int, default=2048)
-    p.add_argument("--tile-edges", type=int, default=384)
+    p.add_argument("--tile-edges", type=int, default=256)
     p.add_argument("--trace", default=None,
                    help="directory for a jax.profiler trace (5 steps)")
     p.add_argument("--steps", type=int, default=30)
@@ -53,7 +55,8 @@ def main():
         num_gt_layers=NUM_LAYERS, num_heads=8, dropout=0.3, norm="bn",
         gate=True, gt_aggregators=("sum", "mean"),
         aggregators=("sum", "mean", "max", "std"),
-        attn_impl=args.attn_impl, dtype=jnp.bfloat16)
+        attn_impl=args.attn_impl, ffn_impl=args.ffn_impl,
+        dtype=jnp.bfloat16)
     variables = init_on_host(model, batch, jax.random.PRNGKey(0))
     jb = jax.tree_util.tree_map(jnp.asarray, batch)
     tx = optax.chain(optax.clip_by_global_norm(5.0),
