@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -102,8 +103,15 @@ class GTConv(nn.Module):
         w = (jnp.concatenate(kernels, axis=1) if len(kernels) > 1
              else kernels[0])
         bias = (jnp.concatenate(biases) if len(biases) > 1 else biases[0])
-        y = (jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
-             + bias.astype(self.dtype))
+        # f32 accumulate + f32 bias add, ONE cast at the end: under
+        # folding, x@(a·W) and the folded bias b@W are both large and
+        # cancel to an O(1) output — rounding the dot to bf16 before the
+        # add leaves ~|b@W|/256 of absolute error on the result, which
+        # destabilizes bf16 training. The MXU reads bf16 operands and
+        # accumulates f32 either way; XLA fuses the add+cast.
+        y = (jax.lax.dot(x.astype(self.dtype), w.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+             + bias).astype(self.dtype)
         outs, off = [], 0
         for _, feats, _, _ in specs:
             outs.append(y[:, off:off + feats])

@@ -173,8 +173,16 @@ def _fwd_body(cfg, refs):
 
         prod = q_e * k_e * scale
         S_m = S_m_raw.astype(md)                    # [hidden, H]
-        logits = _dot(prod.astype(md), S_m)         # [TE, H]
-
+        # Softmax chain precision: the [·,H]-shaped contractions (logit
+        # reduce, max gather, denominator sum/gather) run f32 — their
+        # FLOPs are H/hidden (~6%) of the wide gathers, but bf16 here
+        # destabilizes bf16 TRAINING: a bf16-rounded max leaves up to
+        # 0.4%·|max| in the exponent and a bf16 denominator perturbs
+        # every alpha; measured as loss divergence by ~step 20 at
+        # lr=1e-3 where the f32-softmax lax path trains cleanly. The
+        # wide [TE,NT]@[NT,hidden] gathers stay in md (the MXU win).
+        sd_f = sd_b.astype(_F32)
+        logits = _dot(prod, S_m_raw)                # [TE, H] f32
         if has_edge:
             e_val = e_val_ref[en].astype(_F32)
             eij_ref[en] = (prod * e_val).astype(eij_ref.dtype)
@@ -190,20 +198,19 @@ def _fwd_body(cfg, refs):
                     e_gate_ref[en].astype(_F32))
 
         node_max_t = _segment_max_t(sd_b, logits, heads)  # [H, NT]
-        p = jnp.exp(logits - _dot_rt(sd_m, node_max_t.astype(md)))
+        p = jnp.exp(logits - _dot_rt(sd_f, node_max_t))
         # node degree rides the denominator contraction as an extra lane
         # column (both outputs are lane-padded to 128 anyway) — no
         # separate MXU pass for "mean"
         need_deg = "mean" in aggs
-        p_md = p.astype(md)
         if need_deg:
-            aug = jnp.concatenate([p_md, jnp.ones((te, 1), md)], axis=1)
-            den_deg = _dot_t(sd_m, aug)                   # [NT, H+1]
+            aug = jnp.concatenate([p, jnp.ones((te, 1), _F32)], axis=1)
+            den_deg = _dot_t(sd_f, aug)                   # [NT, H+1]
             denom, deg = den_deg[:, :heads], jnp.maximum(
                 den_deg[:, heads:], 1.0)
         else:
-            denom, deg = _dot_t(sd_m, p_md), None         # [NT, H]
-        alpha = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
+            denom, deg = _dot_t(sd_f, p), None            # [NT, H]
+        alpha = p / (_dot(sd_f, denom) + _SOFTMAX_EPS)
         alpha = alpha * keep_ref[en].astype(_F32)
 
         msg = _dot(alpha.astype(md), S_m.T) * v_msg       # [TE, hidden]
@@ -255,11 +262,13 @@ def _bwd_body(cfg, refs):
         S_m = S_m_raw.astype(md)
 
         # ---- recompute forward intermediates (all in VMEM)
+        sd_f = sd_b.astype(_F32)
+
         q_e = _dot(sd_m, q_ref[nn_].astype(md))
         k_e = _dot(ss_m, k_ref[nn_].astype(md))
         v_e = _dot(ss_m, v_ref[nn_].astype(md))
         prod = q_e * k_e * scale
-        logits = _dot(prod.astype(md), S_m)
+        logits = _dot(prod, S_m_raw)                # f32 (see fwd note)
         if has_edge:
             e_val = e_val_ref[en].astype(_F32)
             logits_pre = logits + e_bias_ref[en].astype(_F32)
@@ -280,17 +289,16 @@ def _bwd_body(cfg, refs):
             logits_fin = logits_pre
 
         node_max_t = _segment_max_t(sd_b, logits_fin, heads)
-        p = jnp.exp(logits_fin - _dot_rt(sd_m, node_max_t.astype(md)))
+        p = jnp.exp(logits_fin - _dot_rt(sd_f, node_max_t))
         need_deg = "mean" in aggs
-        p_md = p.astype(md)
         if need_deg:
-            aug = jnp.concatenate([p_md, jnp.ones((te, 1), md)], axis=1)
-            den_deg = _dot_t(sd_m, aug)
+            aug = jnp.concatenate([p, jnp.ones((te, 1), _F32)], axis=1)
+            den_deg = _dot_t(sd_f, aug)
             denom, deg = den_deg[:, :heads], jnp.maximum(
                 den_deg[:, heads:], 1.0)
         else:
-            denom, deg = _dot_t(sd_m, p_md), None
-        alpha_raw = p / (_dot(sd_m, denom.astype(md)) + _SOFTMAX_EPS)
+            denom, deg = _dot_t(sd_f, p), None
+        alpha_raw = p / (_dot(sd_f, denom) + _SOFTMAX_EPS)
         keep = keep_ref[en].astype(_F32)
         alpha = alpha_raw * keep
         alpha_full = _dot(alpha.astype(md), S_m.T)        # [TE, hidden]
@@ -313,11 +321,17 @@ def _bwd_body(cfg, refs):
 
         g_alpha = _dot(g_alpha_full.astype(md), S_m)      # [TE, H]
         g_alpha_raw = g_alpha * keep
-        # softmax VJP within segments: a * (g - sum_seg(a * g))
+        # softmax VJP within segments: a * (g - sum_seg(a * g)). The
+        # subtraction CANCELS when attention is peaked (alpha ~ 1 on one
+        # edge makes g and the segment sum nearly equal), so the sum and
+        # its gather-back must be f32 — in bf16 the ~0.4%-of-|a·g|
+        # rounding dwarfs the true difference and the logit gradient
+        # comes out wrong-signed; measured as bf16 training divergence
+        # at lr=1e-3 (loss climbs, NaN by ~step 40) with the lax path
+        # healthy on the identical stream.
         t_e = alpha_raw * g_alpha_raw
-        t_n = _dot_t(sd_m, t_e.astype(md))                # [NT, H]
-        g_logits = alpha_raw * (g_alpha_raw
-                                - _dot(sd_m, t_n.astype(md)))
+        t_n = _dot_t(sd_f, t_e)                           # [NT, H] f32
+        g_logits = alpha_raw * (g_alpha_raw - _dot(sd_f, t_n))
 
         if has_gate and has_edge:
             g_logits_pre = g_logits * sig_eg

@@ -277,8 +277,10 @@ class Trainer:
         updates, new_opt = self.tx.update(grads, opt_state, state["params"])
         new_params = optax.apply_updates(state["params"], updates)
 
-        # NaN-loss batch skip (reference cell 9): keep the old state
-        ok = jnp.isfinite(loss)
+        # NaN batch skip (reference cell 9, hardened): the loss can be
+        # finite while the grads are not (a 0*inf in the backward only),
+        # which would poison the params with ok=True — guard on both.
+        ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
         new_params = _tree_where(ok, new_params, state["params"])
         new_opt = _tree_where(ok, new_opt, opt_state)
         new_bstats = _tree_where(ok, new_bstats, state["batch_stats"])

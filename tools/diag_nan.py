@@ -27,6 +27,7 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--norm-fold", default="auto",
                    choices=["auto", "on", "off"])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--skip-nonfinite", action="store_true",
                    help="skip the update on non-finite grads (the "
                         "Trainer's production guard)")
@@ -56,7 +57,8 @@ def main():
         gate=True, gt_aggregators=("sum", "mean"),
         aggregators=("sum", "mean", "max", "std"),
         attn_impl=args.attn_impl, ffn_impl=args.ffn_impl,
-        norm_fold=args.norm_fold, dtype=jnp.bfloat16)
+        norm_fold=args.norm_fold,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     variables = init_on_host(model, batch, jax.random.PRNGKey(0))
     jb = jax.tree_util.tree_map(jnp.asarray, batch)
     tx = optax.chain(optax.clip_by_global_norm(5.0),
