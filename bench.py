@@ -17,14 +17,26 @@ and reports the best. The JSON detail includes the model-FLOPs estimate
 and MFU against the v5e bf16 peak.
 
 Baseline denominator: the reference publishes no throughput numbers
-(SURVEY.md §6), so the denominator is an ESTIMATE of PyG GTConv-style
-gather/scatter models on A100: ~2e7 edge-layer/s. Derivation: this
-model costs ~5.8e8 FLOPs per molecule fwd+bwd (measured analytic count
-below, ~9.3e6 FLOPs/edge-layer); PyG scatter-bound models typically
-reach 3-8% MFU on A100 (312 TFLOP/s bf16 peak) => 312e12 * 0.06 /
-9.3e6 / ... ~= 2e6-2e7 graphs-equivalent; the 2e7 edge-layer/s figure
-takes the optimistic top of that band. It is an estimate, not a
-measurement — MFU is reported alongside as the absolute metric.
+(SURVEY.md §6), so the denominator is an ESTIMATE of this same model on
+PyG/A100, pinned at 7.0e6 edge-layer/s. Derivation (fixed in round 2 —
+the round-1 header quoted 9.3e6 FLOPs/edge-layer, which was the
+per-EDGE cost, i.e. 4 layers conflated into one, and then took 2e7 as
+an "optimistic top" that its own 6%-MFU arithmetic puts at 2e6):
+
+  cost of this model  = 2.65e6 FLOPs per edge-layer, fwd+bwd
+                        (analytic dense count below: 1.31e12 FLOPs/step
+                         at 123,200 real edges x 4 layers)
+  A100 PyG estimate   = 312e12 (bf16/TF32-AMP peak) x 6% MFU / 2.65e6
+                      ~= 7.0e6 edge-layer/s
+
+6% MFU is the generous top for gather/scatter GNNs at hidden=128 (PyG
+molecular models are typically scatter-bound at 1-5%; note 7.0e6
+edge-layer/s also equals PyG sustaining ~96% of the A100's entire f32
+peak (19.5 TFLOP/s), the realistic no-AMP ceiling). It remains an
+estimate, not a measurement — MFU vs the v5e bf16 peak is reported
+alongside as the absolute metric, and the JSON carries
+`vs_baseline_r1_denominator` (the round-1 2e7 figure) for cross-round
+continuity.
 """
 
 import argparse
@@ -33,7 +45,8 @@ import json
 import sys
 import time
 
-A100_PYG_EDGE_LAYER_PER_S = 2.0e7
+A100_PYG_EDGE_LAYER_PER_S = 7.0e6
+A100_PYG_EDGE_LAYER_PER_S_R1 = 2.0e7  # round-1 denominator (see header)
 V5E_BF16_PEAK_FLOPS = 1.97e14
 
 NUM_LAYERS = 4
@@ -289,9 +302,11 @@ def main():
             "device": str(jax.devices()[0]),
             "dtype": "bfloat16",
             "prng": "rbg",
-            "baseline_note": ("A100-PyG denominator 2e7 edge-layer/s is "
-                              "an estimate (see bench.py header); MFU is "
-                              "the absolute metric"),
+            "baseline_note": ("A100-PyG denominator 7.0e6 edge-layer/s is "
+                              "a derived estimate (see bench.py header); "
+                              "MFU is the absolute metric"),
+            "vs_baseline_r1_denominator": round(
+                best["edge_layer_per_s"] / A100_PYG_EDGE_LAYER_PER_S_R1, 3),
             "sweep": ([{k: r[k] for k in ("batch_graphs", "step_time_ms",
                                           "edge_layer_per_s",
                                           "mfu_vs_v5e_bf16_peak")}

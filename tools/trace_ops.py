@@ -52,10 +52,11 @@ def main():
         cell = row["c"][i]
         return cell.get("v") if cell else default
 
-    key_label = {"op": "HLO Op Name", "category": "Op Category",
-                 "program": "Program Name"}[args.by]
-    # fall back to whatever similar column exists
-    if key_label not in idx:
+    want = {"op": ("hlo op name", "op name"),
+            "category": ("hlo op category", "op category"),
+            "program": ("program name", "program id")}[args.by]
+    key_label = next((c for c in cols if c.lower() in want), None)
+    if key_label is None:
         cands = [c for c in cols if args.by in c.lower()]
         key_label = cands[0] if cands else cols[0]
     time_label = next((c for c in cols if "occurrences" not in c.lower()
