@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import gt_attention
+from ..ops.attention import gt_attention, wo_row_perm
 from .dropout import Dropout
 from .ffn import FusedFFN, _LinearParams
 from .init import xavier_uniform
@@ -80,14 +80,19 @@ class GTConv(nn.Module):
             return True
         return self.dtype == jnp.bfloat16
 
-    def _merged_proj(self, x, in_features, specs):
+    def _merged_proj(self, x, in_features, specs, merged=False):
         """Several Dense-equivalent projections of one input as a single
         matmul (XLA keeps separate [128,128] matmuls as separate HBM
         round-trips over x; merged they read x once and hit the MXU with
         a wider RHS). ``specs``: (name, features, use_bias, affine);
         a non-None affine ``(a, b)`` folds a pre-norm into that kernel.
         Param paths/shapes/inits are identical to the per-name
-        ``nn.Dense`` modules they replace."""
+        ``nn.Dense`` modules they replace.
+
+        With ``merged=True`` the concatenated output is returned
+        UNSLICED — the tile kernel consumes it whole and slices
+        per-tensor views in VMEM, so no slice fusions over HBM ever
+        materialize."""
         kernels, biases = [], []
         for name, feats, use_bias, affine in specs:
             kk, bb = _LinearParams(in_features, feats, xavier_uniform(),
@@ -112,6 +117,8 @@ class GTConv(nn.Module):
         y = (jax.lax.dot(x.astype(self.dtype), w.astype(self.dtype),
                          preferred_element_type=jnp.float32)
              + bias).astype(self.dtype)
+        if merged:
+            return y
         outs, off = [], 0
         for _, feats, _, _ in specs:
             outs.append(y[:, off:off + feats])
@@ -176,61 +183,117 @@ class GTConv(nn.Module):
                      ("WV", self.hidden_dim, self.qkv_bias, affine1)]
         if self.gate:
             qkv_specs.append(("n_gate", self.hidden_dim, True, affine1))
-        proj = self._merged_proj(qkv_in, self.node_in_dim, qkv_specs)
-        q, k, v = proj[0], proj[1], proj[2]
-        gate_n = proj[3] if self.gate else None
 
-        e_bias = e_val = e_gate_logits = None
-        if self.edge_in_dim is not None:
-            # bias/gate read the RAW per-layer edge state
-            # (gt_conv.py:367,386); E_val the norm0e'd state (:300-301).
-            # Under folding all three share one matmul on the raw state
-            # (the affine folds into WE_value's kernel only).
-            norm0e = self.norm_fn("norm0e", self.edge_in_dim)
-            if fold:
-                affine0e = norm0e(edge_attr, edge_mask, use_ra,
-                                  return_affine=True)
-                e_specs = [("WE_value", self.hidden_dim, True, affine0e),
-                           ("WE_logits", H, True, None)]
-                if self.gate:
-                    e_specs.append(("e_gate", H, True, None))
-                eproj = self._merged_proj(edge_attr, self.edge_in_dim,
-                                          e_specs)
-                e_val, e_bias = eproj[0], eproj[1]
-                e_gate_logits = eproj[2] if self.gate else None
-            else:
-                edge_attr_norm = norm0e(edge_attr, edge_mask, use_ra)
-                (e_val,) = self._merged_proj(
-                    edge_attr_norm, self.edge_in_dim,
-                    [("WE_value", self.hidden_dim, True, None)])
-                raw_specs = [("WE_logits", H, True, None)]
-                if self.gate:
-                    raw_specs.append(("e_gate", H, True, None))
-                rproj = self._merged_proj(edge_attr, self.edge_in_dim,
-                                          raw_specs)
-                e_bias = rproj[0]
-                e_gate_logits = rproj[1] if self.gate else None
+        aggs = tuple(self.aggregators)
+        # The production fast path: the tile kernel consumes the merged
+        # projection outputs whole (qkvg [Np, (3+gate)·hidden], e_all
+        # [Ep, hidden+(1+gate)·H]) — no HBM slice fusions — and its VJP
+        # hands the merged-projection backward a single cotangent.
+        use_tile = (self.attn_impl in ("tile", "auto")
+                    and tile_edges is not None
+                    and all(a in ("sum", "add", "mean") for a in aggs))
 
         attn_rng = None
         if not deterministic and self.dropout > 0.0:
             attn_rng = self.make_rng("dropout")
 
-        out, eij = gt_attention(
-            q, k, v, edge_src, edge_dst, H,
-            e_bias=e_bias, e_val=e_val, gate_n=gate_n,
-            e_gate_logits=e_gate_logits,
-            aggregators=tuple(self.aggregators),
-            dropout_rate=self.dropout if not deterministic else 0.0,
-            dropout_rng=attn_rng,
-            max_in_degree=self.max_in_degree,
-            impl=self.attn_impl,
-            edge_perm_src=edge_perm_src,
-            tile_edges=tile_edges,
-        )                               # [Np, hidden * A], [h][a][d] layout
+        norm0e = (self.norm_fn("norm0e", self.edge_in_dim)
+                  if self.edge_in_dim is not None else None)
+        e_specs_fold = None
+        if self.edge_in_dim is not None and fold:
+            # bias/gate read the RAW per-layer edge state
+            # (gt_conv.py:367,386); E_val the norm0e'd state (:300-301).
+            # Under folding all three share one matmul on the raw state
+            # (the affine folds into WE_value's kernel only).
+            affine0e = norm0e(edge_attr, edge_mask, use_ra,
+                              return_affine=True)
+            e_specs_fold = [("WE_value", self.hidden_dim, True, affine0e),
+                            ("WE_logits", H, True, None)]
+            if self.gate:
+                e_specs_fold.append(("e_gate", H, True, None))
+
+        if use_tile:
+            from ..ops.pallas.gt_tile import gt_attention_tile_merged
+
+            qkvg = self._merged_proj(qkv_in, self.node_in_dim, qkv_specs,
+                                     merged=True)
+            e_all = None
+            if self.edge_in_dim is not None:
+                if fold:
+                    e_all = self._merged_proj(edge_attr, self.edge_in_dim,
+                                              e_specs_fold, merged=True)
+                else:
+                    edge_attr_norm = norm0e(edge_attr, edge_mask, use_ra)
+                    (e_val,) = self._merged_proj(
+                        edge_attr_norm, self.edge_in_dim,
+                        [("WE_value", self.hidden_dim, True, None)])
+                    raw_specs = [("WE_logits", H, True, None)]
+                    if self.gate:
+                        raw_specs.append(("e_gate", H, True, None))
+                    e_all = self._merged_proj(edge_attr, self.edge_in_dim,
+                                              raw_specs, merged=True)
+                    e_all = jnp.concatenate(
+                        [e_val, e_all.astype(e_val.dtype)], axis=1)
+            out, eij = gt_attention_tile_merged(
+                qkvg, edge_src, edge_dst, H, self.hidden_dim, tile_edges,
+                e_all=e_all, has_gate=self.gate, aggregators=aggs,
+                dropout_rate=self.dropout if not deterministic else 0.0,
+                dropout_rng=attn_rng,
+            )                   # [Np, hidden * A], [a][h][d] layout
+        else:
+            proj = self._merged_proj(qkv_in, self.node_in_dim, qkv_specs)
+            q, k, v = proj[0], proj[1], proj[2]
+            gate_n = proj[3] if self.gate else None
+
+            e_bias = e_val = e_gate_logits = None
+            if self.edge_in_dim is not None:
+                if fold:
+                    eproj = self._merged_proj(edge_attr, self.edge_in_dim,
+                                              e_specs_fold)
+                    e_val, e_bias = eproj[0], eproj[1]
+                    e_gate_logits = eproj[2] if self.gate else None
+                else:
+                    edge_attr_norm = norm0e(edge_attr, edge_mask, use_ra)
+                    (e_val,) = self._merged_proj(
+                        edge_attr_norm, self.edge_in_dim,
+                        [("WE_value", self.hidden_dim, True, None)])
+                    raw_specs = [("WE_logits", H, True, None)]
+                    if self.gate:
+                        raw_specs.append(("e_gate", H, True, None))
+                    rproj = self._merged_proj(edge_attr, self.edge_in_dim,
+                                              raw_specs)
+                    e_bias = rproj[0]
+                    e_gate_logits = rproj[1] if self.gate else None
+
+            out, eij = gt_attention(
+                q, k, v, edge_src, edge_dst, H,
+                e_bias=e_bias, e_val=e_val, gate_n=gate_n,
+                e_gate_logits=e_gate_logits,
+                aggregators=aggs,
+                dropout_rate=self.dropout if not deterministic else 0.0,
+                dropout_rng=attn_rng,
+                max_in_degree=self.max_in_degree,
+                impl=self.attn_impl,
+                edge_perm_src=edge_perm_src,
+                tile_edges=tile_edges,
+                raw_layout=True,
+            )                   # [Np, hidden * A], [a][h][d] layout
 
         drop = lambda name: Dropout(rate=self.dropout, name=name)
 
-        attn_out = dense(self.node_in_dim, "WO")(out)
+        # WO consumes the reference [h][a][d] layout; the kernels emit
+        # aggregator-major [a][h][d], so permute WO's ROWS instead of
+        # relayouting the activation every step (checkpoint orientation
+        # is unchanged — torch imports and the lax path share it).
+        wo_k, wo_b = _LinearParams(self.hidden_dim * len(aggs),
+                                   self.node_in_dim, xavier_uniform(),
+                                   name="WO")()
+        if len(aggs) > 1:
+            wo_k = wo_k[wo_row_perm(H, Dh, len(aggs))]
+        attn_out = (jax.lax.dot(out.astype(self.dtype),
+                                wo_k.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
+                    + wo_b).astype(self.dtype)
         attn_out = drop("dropout_attn_out")(attn_out, deterministic=deterministic)
         x1 = x_res + attn_out
 

@@ -44,17 +44,36 @@ def head_indicator(num_heads: int, dh: int, dtype=jnp.float32):
     return jnp.asarray(s, dtype)
 
 
-def interleave_perm(num_heads: int, dh: int, num_aggrs: int) -> jnp.ndarray:
-    """Permutation mapping aggregator-major concat [a][h][d] onto the
-    reference layout [h][a][d] (PyG MultiAggregation cat on the last axis
-    of [N, H, Dh] then flatten — gt_conv.py:61,310)."""
+def _interleave_perm_np(num_heads: int, dh: int,
+                        num_aggrs: int) -> np.ndarray:
     hidden = num_heads * dh
     perm = np.empty(num_aggrs * hidden, np.int32)
     for h in range(num_heads):
         for a in range(num_aggrs):
             for d in range(dh):
                 perm[h * num_aggrs * dh + a * dh + d] = a * hidden + h * dh + d
-    return jnp.asarray(perm)
+    return perm
+
+
+def interleave_perm(num_heads: int, dh: int, num_aggrs: int) -> jnp.ndarray:
+    """Permutation mapping aggregator-major concat [a][h][d] onto the
+    reference layout [h][a][d] (PyG MultiAggregation cat on the last axis
+    of [N, H, Dh] then flatten — gt_conv.py:61,310)."""
+    return jnp.asarray(_interleave_perm_np(num_heads, dh, num_aggrs))
+
+
+def wo_row_perm(num_heads: int, dh: int, num_aggrs: int) -> jnp.ndarray:
+    """Row permutation for a weight that consumes the reference
+    [h][a][d] layout, so it can consume the kernels' aggregator-major
+    [a][h][d] output directly:
+
+        interleave_cols(out) @ W == out @ W[wo_row_perm(...)]
+
+    (``out[:, p] @ W == out @ W[argsort(p)]``.) Permuting the ~[A·H·Dh,
+    hidden] weight once per step replaces relayouting the [rows,
+    A·H·Dh] activation (and its transpose in the VJP) every step."""
+    return jnp.asarray(
+        np.argsort(_interleave_perm_np(num_heads, dh, num_aggrs)))
 
 
 def interleave_cols(out: jnp.ndarray, num_heads: int, dh: int,
@@ -90,9 +109,12 @@ def gt_attention(
     impl: str = "lax",
     edge_perm_src: Optional[jnp.ndarray] = None,  # [Ep] src-sort perm
     tile_edges: Optional[int] = None,
+    raw_layout: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Returns (node_out [Np, hidden * A] in reference [h][a][d] layout,
-    eij [Ep, hidden] or None).
+    or aggregator-major [a][h][d] when ``raw_layout`` — consumers then
+    permute their weight rows with :func:`wo_row_perm`; eij [Ep, hidden]
+    or None).
 
     Padding edges must target the trash node slot ``Np`` (an extra
     segment that is computed and discarded), and padding sources the
@@ -119,21 +141,29 @@ def gt_attention(
             return gt_attention_tile(
                 q, k, v, edge_src, edge_dst, num_heads, tile_edges,
                 e_bias, e_val, gate_n, e_gate_logits, aggregators,
-                dropout_rate, dropout_rng,
+                dropout_rate, dropout_rng, raw_layout=raw_layout,
             )
         impl = "lax"  # fall through
     if impl == "pallas":
         from .pallas.gt_attention import gt_attention_pallas
 
-        return gt_attention_pallas(
+        out, eij = gt_attention_pallas(
             q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
             e_gate_logits, aggregators, dropout_rate, dropout_rng,
             max_in_degree=max_in_degree, edge_perm_src=edge_perm_src,
         )
+        if raw_layout and len(aggregators) > 1:
+            # v1 kernel emits [h][a][d]; undo to aggregator-major
+            n = out.shape[0]
+            h, a = num_heads, len(aggregators)
+            dh = q.shape[1] // num_heads
+            out = (out.reshape(n, h, a, dh).transpose(0, 2, 1, 3)
+                      .reshape(n, a * h * dh))
+        return out, eij
     return _gt_attention_lax(
         q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
         e_gate_logits, aggregators, dropout_rate, dropout_rng,
-        max_in_degree, edge_perm_src,
+        max_in_degree, edge_perm_src, raw_layout,
     )
 
 
@@ -179,7 +209,7 @@ def form_messages(q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val,
 def _gt_attention_lax(
     q, k, v, edge_src, edge_dst, num_heads, e_bias, e_val, gate_n,
     e_gate_logits, aggregators, dropout_rate, dropout_rng, max_in_degree,
-    edge_perm_src=None,
+    edge_perm_src=None, raw_layout=False,
 ):
     npad, hidden = q.shape
     dh = hidden // num_heads
@@ -201,6 +231,6 @@ def _gt_attention_lax(
     out = multi_aggregate(messages, edge_dst, npad + 1, aggregators,
                           max_per_segment=max_in_degree)  # [Np+1, hidden*A]
     out = out[:npad]
-    if len(aggregators) > 1:
+    if len(aggregators) > 1 and not raw_layout:
         out = interleave_cols(out, num_heads, dh, len(aggregators))
     return out, eij

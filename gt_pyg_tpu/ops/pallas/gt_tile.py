@@ -1,4 +1,4 @@
-"""Fused per-tile Pallas kernel for GTConv message passing (v2).
+"""Fused per-tile Pallas kernel for GTConv message passing (v3).
 
 Replaces the whole gather → SDDMM → segment-softmax → SpMM pipeline of
 :func:`gt_pyg_tpu.ops.attention.gt_attention` (the role of PyG's
@@ -23,10 +23,48 @@ direction, exploiting the tile-packed batch layout
   contractions too), so the VJP is a second fused kernel and the train
   step contains **no** XLA scatter/gather on the attention path.
 
-Per-head reductions/broadcasts run as matmuls against the constant
-head-indicator matrix — the ``[rows, hidden]`` 2-D layout is kept
-throughout (a ``[*, H, Dh]`` layout with Dh=16 would pad its minor dim
-to the 128-lane tile).
+v3 structural changes over v2 (each measured against a device profile
+of the v2 flagship step):
+
+* **Merged operand/cotangent buffers.** The kernel consumes the merged
+  projection outputs directly — ``qkvg [Np, (3+gate)·hidden]`` and
+  ``e_all [Ep, hidden + (1+gate)·H]`` — and slices per-tensor views in
+  VMEM. The v2 interface took q/k/v/gate/e_bias/e_val/e_gate as seven
+  arrays, which forced XLA to materialize slice fusions over HBM
+  (~1.6 ms/step on the flagship batch) just to split the merged matmul
+  outputs, plus concat fusions on the backward to reassemble the
+  merged-projection cotangent. The VJP likewise emits single merged
+  ``dqkvg`` / ``de_all`` buffers.
+
+* **Concatenated gathers/scatters.** K/V/gate share the source-side
+  indicator, so they gather as ONE ``[TE,NT] @ [NT, (2+gate)·hidden]``
+  matmul (and their gradients scatter as one contraction). Fewer,
+  wider MXU issues — the v2 kernel was issue-bound, not FLOP-bound.
+
+* **Per-tile softmax shift.** Softmax is shift-invariant, so the
+  numerical-stability shift needs no per-(node,head) max: ONE masked
+  max over the tile's edge rows replaces v2's per-head masked-max loop
+  (8 × [TE,NT] VPU reductions) and the max gather-back matmul, in both
+  passes. Numerics note: a node whose every logit sits > ~80 below the
+  tile max now underflows to a zero attention row (the reference
+  per-segment shift would still softmax it); unreachable in practice —
+  logits are head-summed QK products of normalized activations.
+
+* **Division after the scatter.** ``Σ α·m = (Σ p·m)/denom`` per
+  destination node, so the forward divides by the per-node denominator
+  once on the node side ([NT,H] broadcast) instead of gathering the
+  denominator back to every edge. (The backward still gathers it back
+  — it needs per-edge alpha for the softmax VJP.)
+
+* **Dropout bits in-kernel.** The caller passes raw uint32 random bits
+  ``[Ep, H]``; the keep mask (compare + scale) is computed in VMEM.
+  v2 materialized an f32 keep mask through an XLA u32→f32 divide
+  fusion per layer (~0.2 ms each).
+
+* **Aggregator-major output.** The kernel writes ``[a][h][d]`` column
+  order; callers that need the reference ``[h][a][d]`` layout permute
+  the rows of the CONSUMING projection's weight instead of relayouting
+  activations every step (`ops.attention.interleave_perm`).
 
 Supported aggregators: ``sum``/``add``/``mean``. Math invariants match
 the lax path exactly (SURVEY.md §3.2): value-add-before-gate, per-head
@@ -78,14 +116,23 @@ def _should_interpret() -> bool:
 # the lax path on v5e). bf16 operands must use DEFAULT — Mosaic rejects
 # an fp32-precision matmul on bf16 vectors ("Bad lhs type").
 #
-# Matmul-dtype policy (md): when the model computes in bf16, EVERY dot
-# in the kernel runs single-pass bf16 with f32 accumulation — the
+# Matmul-dtype policy (md): when the model computes in bf16, EVERY wide
+# dot in the kernel runs single-pass bf16 with f32 accumulation — the
 # indicator matrices are one-hot (exact in bf16) so gathers/broadcasts
 # stay exact and scatters round their f32 values once, exactly like any
 # other bf16 matmul in the net. When the model computes in f32 the
 # kernel is bit-faithful (HIGHEST everywhere) for golden-parity tests.
-# This matters: a HIGHEST f32 matmul costs 6 MXU passes, and the
-# fwd+bwd kernels are dominated by [TE,NT]-indicator contractions.
+#
+# Softmax-chain precision: the [·,H]-shaped f32 contractions (logit
+# head-reduce, denominator sum and its gather-back/broadcast, softmax
+# VJP sum) must NOT drop to one-pass bf16 — a bf16-rounded denominator
+# perturbs every alpha and a bf16 softmax-VJP sum loses the
+# peaked-attention cancellation; both measured as bf16 TRAINING
+# divergence at lr=1e-3 (loss climbs, NaN by ~step 40) with the lax
+# path healthy on the identical stream. In bf16 mode they run HIGH
+# (3-pass bf16 ≈ f32-grade product accuracy) instead of v2's HIGHEST
+# (6-pass) — the operands are already f32 accumulations of bf16
+# matmuls, so the last ~5 bits HIGHEST preserves carry no information.
 def _mm_dtype(dtype):
     return dtype if dtype == jnp.bfloat16 else _F32
 
@@ -101,309 +148,289 @@ def _dot(a, b):
                        precision=_prec(a, b))
 
 
-def _dot_t(a, b):
+def _soft_prec(md):
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions (HIGH is
+    # rejected), so the softmax-chain f32 dots pay the 6-pass HIGHEST
+    # even in bf16 mode — they are [·,H]-narrow, so the cost is small.
+    del md
+    return jax.lax.Precision.HIGHEST
+
+
+def _dot_soft(a, b, md):
+    """f32 dot on the softmax chain (see precision note above)."""
+    return jax.lax.dot(a, b, preferred_element_type=_F32,
+                       precision=_soft_prec(md))
+
+
+def _dot_t(a, b, prec):
     """Contract over the (leading) edge axis: a [E, N], b [E, F] ->
     [N, F]. The TPU-native scatter: an MXU matmul with lhs-transposed
     dimension numbers instead of an XLA scatter."""
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=_F32,
-        precision=_prec(a, b))
+        precision=prec)
 
 
-def _dot_rt(a, b):
-    """a [E, N], b [H, N] -> [E, H] (contract both minor axes)."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=_F32,
-        precision=_prec(a, b))
-
-
-def _segment_max_t(sd_b, logits, heads):
-    """Exact per-(node, head) max over member edges.
-
-    sd_b [TE, NT] bool membership, logits [TE, H] f32. Returns
-    node_max_T [H, NT] with empty segments forced to 0 (static head
-    loop — a [NT, TE, H] broadcast would pad H to 128 lanes)."""
-    maxes = []
-    for h in range(heads):
-        lh = jnp.where(sd_b, logits[:, h:h + 1], _NEG_INF)   # [TE, NT]
-        maxes.append(jnp.max(lh, axis=0, keepdims=True))     # [1, NT]
-    node_max_t = jnp.concatenate(maxes, axis=0)              # [H, NT]
-    return jnp.where(node_max_t > _NEG_INF / 2, node_max_t, 0.0)
-
-
-# cfg tuple: (heads, dh, te, aggs, has_gate, has_edge, tiles_per_step)
+# cfg tuple (the 9-tuple view a kernel body sees):
+#   (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles)
 #
-# Each grid step processes ``tiles_per_step`` (G) consecutive tiles with
-# a static inner loop: per-step Mosaic control overhead (~µs) was
-# measured to dominate the kernel at G=1 (2048 grid steps for the
-# 4-layer bench batch vs a ~2 ms matmul floor), and the per-tile matmul
+# Each grid step processes ``g_tiles`` (G) consecutive tiles with a
+# static inner loop: per-step Mosaic control overhead (~µs) was
+# measured to dominate the kernel at G=1 (2048 grid invocations per
+# 4-layer step against a ~3 ms matmul floor), and the per-tile matmul
 # shapes are unchanged, so amortizing the overhead G× is pure win as
 # long as the G-tile working set fits VMEM.
-def _fwd_body(cfg, refs):
-    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
+def _recompute_tile(cfg, refs, en, nn_, base, iota):
+    """Shared fwd/bwd-recompute stage. Returns a dict of per-tile
+    intermediates (all f32 unless noted)."""
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate = cfg[:7]
+    hidden = heads * dh
     scale = 1.0 / math.sqrt(dh)
-    i = iter(refs)
-    q_ref, k_ref, v_ref = next(i), next(i), next(i)
-    gate_ref = next(i) if has_gate else None
-    if has_edge:
-        e_bias_ref, e_val_ref = next(i), next(i)
-        e_gate_ref = next(i) if has_gate else None
-    keep_ref, src_ref, dst_ref = next(i), next(i), next(i)
-    s_head_ref = next(i)
-    out_ref = next(i)
-    eij_ref = next(i) if has_edge else None
 
-    S_m_raw = s_head_ref[:]
+    qkvg_ref = refs["qkvg"]
+    md = _mm_dtype(qkvg_ref.dtype)
+
+    sl = refs["src"][en] - base                 # [TE, 1] tile-local
+    dl = refs["dst"][en] - base
+    ss_b = sl == iota                           # [TE, NT]
+    sd_b = dl == iota
+    ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
+
+    qkvg = qkvg_ref[nn_].astype(md)             # [NT, (3+gate)·hidden]
+    q_e = _dot(sd_m, qkvg[:, :hidden])          # [TE, hidden] f32
+    kvg_e = _dot(ss_m, qkvg[:, hidden:])        # [TE, (2+gate)·hidden]
+    k_e = kvg_e[:, :hidden]
+    v_e = kvg_e[:, hidden:2 * hidden]
+
+    prod = q_e * k_e * scale
+    S_m_raw = refs["s_head"][:]
+    logits = _dot_soft(prod, S_m_raw, md)       # [TE, H] f32
+
+    e_val = None
+    if has_edge:
+        e_all = refs["e_all"][en]
+        e_val = e_all[:, :hidden].astype(_F32)
+        logits = logits + e_all[:, hidden:hidden + heads].astype(_F32)
+        v_msg = v_e + e_val
+    else:
+        v_msg = v_e
+    sig_g = None
+    if has_gate:
+        sig_g = jax.nn.sigmoid(kvg_e[:, 2 * hidden:])
+        v_base = v_msg
+        v_msg = v_msg * sig_g
+    else:
+        v_base = v_msg
+    sig_eg = None
+    logits_pre = logits
+    if has_gate and has_edge:
+        sig_eg = jax.nn.sigmoid(
+            refs["e_all"][en][:, hidden + heads:].astype(_F32))
+        logits = logits * sig_eg
+
+    # per-tile softmax shift (shift-invariance; see module docstring).
+    # Padded edge rows (tile-local index outside [0, NT)) are forced to
+    # -inf so they exp to exactly 0; the floor guards an all-padding
+    # tile (max = -1e30 would make exp(l - max) = 1 on padding rows).
+    valid = (dl >= 0) & (dl < NT)               # [TE, 1]
+    logits = jnp.where(valid, logits, _NEG_INF)
+    shift = jnp.maximum(jnp.max(logits, axis=0, keepdims=True),
+                        0.5 * _NEG_INF)         # [1, H]
+    p = jnp.exp(logits - shift)                 # [TE, H]; padding -> 0
+
+    sd_f = sd_b.astype(_F32)
+    sp = _soft_prec(md)
+    if "mean" in aggs:
+        # node degree rides the denominator contraction as an extra
+        # lane column (both outputs are lane-padded to 128 anyway)
+        aug = jnp.concatenate([p, jnp.ones((te, 1), _F32)], axis=1)
+        den_deg = _dot_t(sd_f, aug, sp)         # [NT, H+1]
+        denom, deg = den_deg[:, :heads], jnp.maximum(
+            den_deg[:, heads:], 1.0)
+    else:
+        denom, deg = _dot_t(sd_f, p, sp), None  # [NT, H]
+
+    keep = None
+    if drop_rate > 0.0:
+        # reproduce jax.random.bernoulli(key, 1-rate) bit-for-bit from
+        # the raw key-stream bits (uniform's f32 construction is
+        # bitcast((bits >> 9) | 0x3F800000) - 1.0), so the mask
+        # placement is identical to the lax path under the same key
+        bits = refs["bits"][en]                 # [TE, H] uint32
+        fb = (bits >> 9) | jnp.uint32(0x3F800000)
+        u = jax.lax.bitcast_convert_type(fb, _F32) - 1.0
+        keep = jnp.where(u < (1.0 - drop_rate),
+                         1.0 / (1.0 - drop_rate), 0.0)
+
+    return dict(ss_m=ss_m, sd_m=sd_m, sd_f=sd_f, md=md, q_e=q_e,
+                k_e=k_e, v_e=v_e, kvg_e=kvg_e, prod=prod,
+                logits_pre=logits_pre, e_val=e_val, v_base=v_base,
+                v_msg=v_msg, sig_g=sig_g, sig_eg=sig_eg, p=p,
+                denom=denom, deg=deg, keep=keep, S_m_raw=S_m_raw,
+                scale=scale)
+
+
+def _fwd_body(cfg, refs):
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
+    hidden = heads * dh
     iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
 
     for g in range(g_tiles):
-        en = pl.ds(g * te, te)                      # edge-row window
-        nn_ = pl.ds(g * NT, NT)                     # node-row window
+        en = pl.ds(g * te, te)                  # edge-row window
+        nn_ = pl.ds(g * NT, NT)                 # node-row window
         base = (pl.program_id(0) * g_tiles + g) * NT
-        sl = src_ref[en] - base                     # [TE, 1] tile-local
-        dl = dst_ref[en] - base
-        ss_b = sl == iota                           # [TE, NT]
-        sd_b = dl == iota
-        md = _mm_dtype(q_ref.dtype)
-        ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
+        t = _recompute_tile(cfg, refs, en, nn_, base, iota)
+        md, sp = t["md"], _soft_prec(t["md"])
 
-        q_e = _dot(sd_m, q_ref[nn_].astype(md))     # [TE, hidden] f32
-        k_e = _dot(ss_m, k_ref[nn_].astype(md))
-        v_e = _dot(ss_m, v_ref[nn_].astype(md))
-
-        prod = q_e * k_e * scale
-        S_m = S_m_raw.astype(md)                    # [hidden, H]
-        # Softmax chain precision: the [·,H]-shaped contractions (logit
-        # reduce, max gather, denominator sum/gather) run f32 — their
-        # FLOPs are H/hidden (~6%) of the wide gathers, but bf16 here
-        # destabilizes bf16 TRAINING: a bf16-rounded max leaves up to
-        # 0.4%·|max| in the exponent and a bf16 denominator perturbs
-        # every alpha; measured as loss divergence by ~step 20 at
-        # lr=1e-3 where the f32-softmax lax path trains cleanly. The
-        # wide [TE,NT]@[NT,hidden] gathers stay in md (the MXU win).
-        sd_f = sd_b.astype(_F32)
-        logits = _dot(prod, S_m_raw)                # [TE, H] f32
         if has_edge:
-            e_val = e_val_ref[en].astype(_F32)
-            eij_ref[en] = (prod * e_val).astype(eij_ref.dtype)
-            logits = logits + e_bias_ref[en].astype(_F32)
-            v_msg = v_e + e_val
-        else:
-            v_msg = v_e
-        if has_gate:
-            v_msg = v_msg * jax.nn.sigmoid(
-                _dot(ss_m, gate_ref[nn_].astype(md)))
-            if has_edge:
-                logits = logits * jax.nn.sigmoid(
-                    e_gate_ref[en].astype(_F32))
+            refs["eij"][en] = (t["prod"] * t["e_val"]).astype(
+                refs["eij"].dtype)
 
-        node_max_t = _segment_max_t(sd_b, logits, heads)  # [H, NT]
-        p = jnp.exp(logits - _dot_rt(sd_f, node_max_t))
-        # node degree rides the denominator contraction as an extra lane
-        # column (both outputs are lane-padded to 128 anyway) — no
-        # separate MXU pass for "mean"
-        need_deg = "mean" in aggs
-        if need_deg:
-            aug = jnp.concatenate([p, jnp.ones((te, 1), _F32)], axis=1)
-            den_deg = _dot_t(sd_f, aug)                   # [NT, H+1]
-            denom, deg = den_deg[:, :heads], jnp.maximum(
-                den_deg[:, heads:], 1.0)
-        else:
-            denom, deg = _dot_t(sd_f, p), None            # [NT, H]
-        alpha = p / (_dot(sd_f, denom) + _SOFTMAX_EPS)
-        alpha = alpha * keep_ref[en].astype(_F32)
-
-        msg = _dot(alpha.astype(md), S_m.T) * v_msg       # [TE, hidden]
-        sum_out = _dot_t(sd_m, msg.astype(md))            # [NT, hidden]
+        p_keep = t["p"] if t["keep"] is None else t["p"] * t["keep"]
+        # numerator: scatter p·m, divide by the denominator node-side
+        S_m = t["S_m_raw"].astype(md)
+        msg = _dot(p_keep.astype(md), S_m.T) * t["v_msg"]   # [TE, hidden]
+        sum_pre = _dot_t(t["sd_m"], msg.astype(md), _prec(S_m, S_m))
+        denom_bc = _dot_soft(t["denom"], t["S_m_raw"].T, md) \
+            + _SOFTMAX_EPS                                  # [NT, hidden]
+        sum_out = sum_pre / denom_bc
 
         outs = []
         for a in aggs:
             if a == "sum":
                 outs.append(sum_out)
             elif a == "mean":
-                outs.append(sum_out / deg)
+                outs.append(sum_out / t["deg"])
         out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-        out_ref[nn_] = out.astype(out_ref.dtype)
+        refs["out"][nn_] = out.astype(refs["out"].dtype)
 
 
 def _bwd_body(cfg, refs):
-    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
-    scale = 1.0 / math.sqrt(dh)
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
     hidden = heads * dh
-    i = iter(refs)
-    q_ref, k_ref, v_ref = next(i), next(i), next(i)
-    gate_ref = next(i) if has_gate else None
-    if has_edge:
-        e_bias_ref, e_val_ref = next(i), next(i)
-        e_gate_ref = next(i) if has_gate else None
-    keep_ref, src_ref, dst_ref = next(i), next(i), next(i)
-    s_head_ref = next(i)
-    g_out_ref = next(i)
-    g_eij_ref = next(i) if has_edge else None
-    dq_ref, dk_ref, dv_ref = next(i), next(i), next(i)
-    dgate_ref = next(i) if has_gate else None
-    if has_edge:
-        de_bias_ref, de_val_ref = next(i), next(i)
-        de_gate_ref = next(i) if has_gate else None
-
     iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
-    S_m_raw = s_head_ref[:]
 
     for g in range(g_tiles):
         en = pl.ds(g * te, te)
         nn_ = pl.ds(g * NT, NT)
         base = (pl.program_id(0) * g_tiles + g) * NT
-        sl = src_ref[en] - base
-        dl = dst_ref[en] - base
-        ss_b = sl == iota
-        sd_b = dl == iota
-        md = _mm_dtype(q_ref.dtype)
-        ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
-        S_m = S_m_raw.astype(md)
+        t = _recompute_tile(cfg, refs, en, nn_, base, iota)
+        md, sp = t["md"], _soft_prec(t["md"])
+        S_m = t["S_m_raw"].astype(md)
+        sd_f = t["sd_f"]
 
-        # ---- recompute forward intermediates (all in VMEM)
-        sd_f = sd_b.astype(_F32)
+        # the backward needs per-edge alpha explicitly (softmax VJP)
+        den_e = _dot_soft(sd_f, t["denom"], md) + _SOFTMAX_EPS  # [TE, H]
+        alpha_raw = t["p"] / den_e
+        alpha = alpha_raw if t["keep"] is None else alpha_raw * t["keep"]
+        alpha_full = _dot(alpha.astype(md), S_m.T)          # [TE, hidden]
 
-        q_e = _dot(sd_m, q_ref[nn_].astype(md))
-        k_e = _dot(ss_m, k_ref[nn_].astype(md))
-        v_e = _dot(ss_m, v_ref[nn_].astype(md))
-        prod = q_e * k_e * scale
-        logits = _dot(prod, S_m_raw)                # f32 (see fwd note)
-        if has_edge:
-            e_val = e_val_ref[en].astype(_F32)
-            logits_pre = logits + e_bias_ref[en].astype(_F32)
-            v_base = v_e + e_val
-        else:
-            logits_pre = logits
-            v_base = v_e
-        if has_gate:
-            sig_g = jax.nn.sigmoid(_dot(ss_m, gate_ref[nn_].astype(md)))
-            v_msg = v_base * sig_g
-            if has_edge:
-                sig_eg = jax.nn.sigmoid(e_gate_ref[en].astype(_F32))
-                logits_fin = logits_pre * sig_eg
-            else:
-                logits_fin = logits_pre
-        else:
-            v_msg = v_base
-            logits_fin = logits_pre
-
-        node_max_t = _segment_max_t(sd_b, logits_fin, heads)
-        p = jnp.exp(logits_fin - _dot_rt(sd_f, node_max_t))
-        need_deg = "mean" in aggs
-        if need_deg:
-            aug = jnp.concatenate([p, jnp.ones((te, 1), _F32)], axis=1)
-            den_deg = _dot_t(sd_f, aug)
-            denom, deg = den_deg[:, :heads], jnp.maximum(
-                den_deg[:, heads:], 1.0)
-        else:
-            denom, deg = _dot_t(sd_f, p), None
-        alpha_raw = p / (_dot(sd_f, denom) + _SOFTMAX_EPS)
-        keep = keep_ref[en].astype(_F32)
-        alpha = alpha_raw * keep
-        alpha_full = _dot(alpha.astype(md), S_m.T)        # [TE, hidden]
-
-        # ---- reverse
         # fold aggregator cotangents into one per-node message gradient
         g_node = jnp.zeros((NT, hidden), _F32)
         off = 0
         for a in aggs:
-            piece = g_out_ref[nn_, off:off + hidden].astype(_F32)
+            piece = refs["g_out"][nn_, off:off + hidden].astype(_F32)
             if a == "sum":
                 g_node = g_node + piece
             elif a == "mean":
-                g_node = g_node + piece / deg
+                g_node = g_node + piece / t["deg"]
             off += hidden
 
-        g_msg = _dot(sd_m, g_node.astype(md))             # [TE, hidden]
-        g_alpha_full = g_msg * v_msg
+        g_msg = _dot(t["sd_m"], g_node.astype(md))          # [TE, hidden]
+        g_alpha_full = g_msg * t["v_msg"]
         g_v_msg = alpha_full * g_msg
 
-        g_alpha = _dot(g_alpha_full.astype(md), S_m)      # [TE, H]
-        g_alpha_raw = g_alpha * keep
+        g_alpha = _dot_soft(g_alpha_full, t["S_m_raw"], md)  # [TE, H]
+        g_alpha_raw = g_alpha if t["keep"] is None else g_alpha * t["keep"]
         # softmax VJP within segments: a * (g - sum_seg(a * g)). The
         # subtraction CANCELS when attention is peaked (alpha ~ 1 on one
         # edge makes g and the segment sum nearly equal), so the sum and
-        # its gather-back must be f32 — in bf16 the ~0.4%-of-|a·g|
-        # rounding dwarfs the true difference and the logit gradient
-        # comes out wrong-signed; measured as bf16 training divergence
-        # at lr=1e-3 (loss climbs, NaN by ~step 40) with the lax path
-        # healthy on the identical stream.
+        # its gather-back stay f32 (HIGH — see precision note).
         t_e = alpha_raw * g_alpha_raw
-        t_n = _dot_t(sd_f, t_e)                           # [NT, H] f32
-        g_logits = alpha_raw * (g_alpha_raw - _dot(sd_f, t_n))
+        t_n = _dot_t(sd_f, t_e, sp)                         # [NT, H]
+        g_logits = alpha_raw * (g_alpha_raw - _dot_soft(sd_f, t_n, md))
 
         if has_gate and has_edge:
-            g_logits_pre = g_logits * sig_eg
-            de_gate_ref[en] = (g_logits * logits_pre * sig_eg
-                               * (1.0 - sig_eg)).astype(de_gate_ref.dtype)
+            g_logits_pre = g_logits * t["sig_eg"]
+            de_gate = (g_logits * t["logits_pre"] * t["sig_eg"]
+                       * (1.0 - t["sig_eg"]))
         else:
             g_logits_pre = g_logits
-        if has_edge:
-            de_bias_ref[en] = g_logits_pre.astype(de_bias_ref.dtype)
+            de_gate = None
 
-        g_prod = _dot(g_logits_pre.astype(md), S_m.T)     # [TE, hidden]
+        g_prod = _dot(g_logits_pre.astype(md), S_m.T)       # [TE, hidden]
         if has_edge:
-            g_eij = g_eij_ref[en].astype(_F32)
-            g_prod = g_prod + g_eij * e_val
-            g_e_val = g_eij * prod
+            g_eij = refs["g_eij"][en].astype(_F32)
+            g_prod = g_prod + g_eij * t["e_val"]
+            g_e_val = g_eij * t["prod"]
         if has_gate:
-            g_v_base = g_v_msg * sig_g
-            g_gate_e = g_v_msg * v_base * sig_g * (1.0 - sig_g)
-            dgate_ref[nn_] = _dot_t(
-                ss_m, g_gate_e.astype(md)).astype(dgate_ref.dtype)
+            g_v_base = g_v_msg * t["sig_g"]
+            g_gate_e = g_v_msg * t["v_base"] * t["sig_g"] \
+                * (1.0 - t["sig_g"])
         else:
             g_v_base = g_v_msg
+            g_gate_e = None
+
+        g_q_e = g_prod * t["k_e"] * t["scale"]
+        g_k_e = g_prod * t["q_e"] * t["scale"]
+
+        # one destination-side scatter (dq) + one source-side scatter
+        # (dk|dv|dgate), written as a single merged cotangent buffer
+        dq = _dot_t(t["sd_m"], g_q_e.astype(md), _prec(S_m, S_m))
+        kv_grads = [g_k_e, g_v_base]
+        if has_gate:
+            kv_grads.append(g_gate_e)
+        dkvg = _dot_t(t["ss_m"],
+                      jnp.concatenate(kv_grads, axis=1).astype(md),
+                      _prec(S_m, S_m))
+        refs["dqkvg"][nn_] = jnp.concatenate(
+            [dq, dkvg], axis=1).astype(refs["dqkvg"].dtype)
+
         if has_edge:
-            de_val_ref[en] = (g_e_val + g_v_base).astype(de_val_ref.dtype)
-
-        g_q_e = g_prod * k_e * scale
-        g_k_e = g_prod * q_e * scale
-
-        dq_ref[nn_] = _dot_t(sd_m, g_q_e.astype(md)).astype(dq_ref.dtype)
-        dk_ref[nn_] = _dot_t(ss_m, g_k_e.astype(md)).astype(dk_ref.dtype)
-        dv_ref[nn_] = _dot_t(ss_m,
-                             g_v_base.astype(md)).astype(dv_ref.dtype)
+            de_parts = [g_e_val + g_v_base, g_logits_pre]
+            if has_gate:
+                de_parts.append(de_gate)
+            refs["de_all"][en] = jnp.concatenate(
+                de_parts, axis=1).astype(refs["de_all"].dtype)
 
 
 def _edge_block(cfg, width):
-    te, g = cfg[2], cfg[6]
+    te, g = cfg[2], cfg[7]
     return pl.BlockSpec((g * te, width), lambda t: (t, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _node_block(cfg, width):
-    g = cfg[6]
+    g = cfg[7]
     return pl.BlockSpec((g * NT, width), lambda t: (t, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _collect_inputs(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep,
-                    src, dst):
-    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
+def _collect_inputs(cfg, qkvg, e_all, bits, src, dst):
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
     hidden = heads * dh
-    arrays = [q, k, v]
-    specs = [_node_block(cfg, hidden)] * 3
-    if has_gate:
-        arrays.append(gate_n)
-        specs.append(_node_block(cfg, hidden))
+    names = ["qkvg"]
+    arrays = [qkvg]
+    specs = [_node_block(cfg, hidden * (3 + has_gate))]
     if has_edge:
-        arrays += [e_bias, e_val]
-        specs += [_edge_block(cfg, heads), _edge_block(cfg, hidden)]
-        if has_gate:
-            arrays.append(e_gate)
-            specs.append(_edge_block(cfg, heads))
-    arrays += [keep, src.reshape(-1, 1), dst.reshape(-1, 1),
+        names.append("e_all")
+        arrays.append(e_all)
+        specs.append(_edge_block(cfg, hidden + heads * (1 + has_gate)))
+    if drop_rate > 0.0:
+        names.append("bits")
+        arrays.append(bits)
+        specs.append(_edge_block(cfg, heads))
+    names += ["src", "dst", "s_head"]
+    arrays += [src.reshape(-1, 1), dst.reshape(-1, 1),
                jnp.asarray(_head_indicator(heads, dh))]
-    specs += [_edge_block(cfg, heads), _edge_block(cfg, 1),
-              _edge_block(cfg, 1),
+    specs += [_edge_block(cfg, 1), _edge_block(cfg, 1),
               pl.BlockSpec((hidden, heads), lambda t: (0, 0),
                            memory_space=pltpu.VMEM)]
-    return arrays, specs
+    return names, arrays, specs
 
 
 def _cost(cfg, npad, ep, n_big_matmuls):
-    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
+    heads, dh, te = cfg[0], cfg[1], cfg[2]
     hidden = heads * dh
     n_tiles = npad // NT
     per_tile = n_big_matmuls * 2 * te * NT * hidden
@@ -414,7 +441,7 @@ def _cost(cfg, npad, ep, n_big_matmuls):
     )
 
 
-def _pick_tiles_per_step(n_tiles: int, te: int, want: int) -> int:
+def _pick_tiles_per_step(n_tiles: int, want: int) -> int:
     """Largest divisor of n_tiles that is <= want (grid length must be
     integral; packing rounds tile counts to ``tiles_multiple`` so the
     preferred G usually divides exactly)."""
@@ -425,38 +452,43 @@ def _pick_tiles_per_step(n_tiles: int, te: int, want: int) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _tile_core(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep, src,
-               dst):
-    """Fused forward. Returns (out [Np, hidden*A] aggregator-major,
-    eij [Ep, hidden] or a 0-element placeholder). Inactive optional args
-    are 1-element dummies (cfg flags gate which ones reach the kernel).
+def _tile_core(cfg, qkvg, e_all, bits, src, dst):
+    """Fused forward. Returns (out [Np, hidden*A] aggregator-major
+    [a][h][d] layout, eij [Ep, hidden] or a 0-element placeholder).
+    Inactive optional args are 1-element dummies (cfg flags gate which
+    reach the kernel).
 
-    ``cfg`` is an 8-tuple (heads, dh, te, aggs, has_gate, has_edge,
-    g_fwd, g_bwd); the fwd/bwd kernels run with their own
+    ``cfg`` is a 9-tuple (heads, dh, te, aggs, has_gate, has_edge,
+    drop_rate, g_fwd, g_bwd); the fwd/bwd kernels run with their own
     tiles-per-step (the bwd working set is ~2x the fwd's, so it uses a
     smaller G to stay inside scoped VMEM)."""
-    cfg = cfg[:6] + (cfg[6],)          # 7-tuple view with G = g_fwd
-    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
+    cfg = cfg[:7] + (cfg[7],)          # 8-tuple view with G = g_fwd
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
     hidden = heads * dh
-    npad, ep = q.shape[0], src.shape[0]
+    npad, ep = qkvg.shape[0], src.shape[0]
     n_tiles = npad // NT
 
-    arrays, in_specs = _collect_inputs(cfg, q, k, v, gate_n, e_bias,
-                                       e_val, e_gate, keep, src, dst)
+    names, arrays, in_specs = _collect_inputs(cfg, qkvg, e_all, bits,
+                                              src, dst)
     out_shapes = [jax.ShapeDtypeStruct((npad, hidden * len(aggs)),
-                                       q.dtype)]
+                                       qkvg.dtype)]
     out_specs = [_node_block(cfg, hidden * len(aggs))]
+    out_names = ["out"]
     if has_edge:
-        out_shapes.append(jax.ShapeDtypeStruct((ep, hidden), q.dtype))
+        out_shapes.append(jax.ShapeDtypeStruct((ep, hidden), qkvg.dtype))
         out_specs.append(_edge_block(cfg, hidden))
+        out_names.append("eij")
+
+    def body(*refs):
+        _fwd_body(cfg, dict(zip(names + out_names, refs)))
 
     res = pl.pallas_call(
-        functools.partial(lambda c, *refs: _fwd_body(c, refs), cfg),
+        body,
         grid=(n_tiles // g_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        cost_estimate=_cost(cfg, npad, ep, 6 + has_gate),
+        cost_estimate=_cost(cfg, npad, ep, 5 + has_gate),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,),
             # f32 (golden-parity) runs at G=8 need ~18MB scoped VMEM —
@@ -465,83 +497,131 @@ def _tile_core(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep, src,
         interpret=_should_interpret(),
     )(*arrays)
     out = res[0]
-    eij = res[1] if has_edge else jnp.zeros((0,), q.dtype)
+    eij = res[1] if has_edge else jnp.zeros((0,), qkvg.dtype)
     return out, eij
 
 
-def _tile_core_fwd(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep,
-                   src, dst):
-    out = _tile_core(cfg, q, k, v, gate_n, e_bias, e_val, e_gate, keep,
-                     src, dst)
-    return out, (q, k, v, gate_n, e_bias, e_val, e_gate, keep, src, dst)
+def _tile_core_fwd(cfg, qkvg, e_all, bits, src, dst):
+    out = _tile_core(cfg, qkvg, e_all, bits, src, dst)
+    return out, (qkvg, e_all, bits, src, dst)
 
 
 def _tile_core_bwd(cfg, residuals, cotangents):
-    cfg = cfg[:6] + (cfg[7],)          # 7-tuple view with G = g_bwd
-    heads, dh, te, aggs, has_gate, has_edge, g_tiles = cfg
+    cfg = cfg[:7] + (cfg[8],)          # 8-tuple view with G = g_bwd
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
     hidden = heads * dh
-    q, k, v, gate_n, e_bias, e_val, e_gate, keep, src, dst = residuals
+    qkvg, e_all, bits, src, dst = residuals
     g_out, g_eij = cotangents
-    npad, ep = q.shape[0], src.shape[0]
+    npad, ep = qkvg.shape[0], src.shape[0]
     n_tiles = npad // NT
 
-    arrays, in_specs = _collect_inputs(cfg, q, k, v, gate_n, e_bias,
-                                       e_val, e_gate, keep, src, dst)
-    arrays.append(g_out.astype(q.dtype))
+    names, arrays, in_specs = _collect_inputs(cfg, qkvg, e_all, bits,
+                                              src, dst)
+    names.append("g_out")
+    arrays.append(g_out.astype(qkvg.dtype))
     in_specs.append(_node_block(cfg, hidden * len(aggs)))
     if has_edge:
-        arrays.append(g_eij.astype(q.dtype))
+        names.append("g_eij")
+        arrays.append(g_eij.astype(qkvg.dtype))
         in_specs.append(_edge_block(cfg, hidden))
 
-    out_shapes = [jax.ShapeDtypeStruct((npad, hidden), q.dtype)] * 3
-    out_specs = [_node_block(cfg, hidden)] * 3
-    if has_gate:
-        out_shapes.append(jax.ShapeDtypeStruct((npad, hidden), q.dtype))
-        out_specs.append(_node_block(cfg, hidden))
+    out_shapes = [jax.ShapeDtypeStruct((npad, hidden * (3 + has_gate)),
+                                       qkvg.dtype)]
+    out_specs = [_node_block(cfg, hidden * (3 + has_gate))]
+    out_names = ["dqkvg"]
     if has_edge:
-        out_shapes += [
-            jax.ShapeDtypeStruct((ep, heads), jnp.float32),
-            jax.ShapeDtypeStruct((ep, hidden), q.dtype),
-        ]
-        out_specs += [_edge_block(cfg, heads), _edge_block(cfg, hidden)]
-        if has_gate:
-            out_shapes.append(jax.ShapeDtypeStruct((ep, heads),
-                                                   jnp.float32))
-            out_specs.append(_edge_block(cfg, heads))
+        w = hidden + heads * (1 + has_gate)
+        out_shapes.append(jax.ShapeDtypeStruct((ep, w), qkvg.dtype))
+        out_specs.append(_edge_block(cfg, w))
+        out_names.append("de_all")
+
+    def body(*refs):
+        _bwd_body(cfg, dict(zip(names + out_names, refs)))
 
     res = pl.pallas_call(
-        functools.partial(lambda c, *refs: _bwd_body(c, refs), cfg),
+        body,
         grid=(n_tiles // g_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        cost_estimate=_cost(cfg, npad, ep, 12 + 2 * has_gate),
+        cost_estimate=_cost(cfg, npad, ep, 10 + 2 * has_gate),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,),
-            # f32 (golden-parity) runs at G=8 need ~18MB scoped VMEM —
-            # over the 16MB default; v5e has 128MB physical
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_should_interpret(),
     )(*arrays)
 
-    i = iter(res)
-    dq, dk, dv = next(i), next(i), next(i)
-    dgate = next(i) if has_gate else jnp.zeros_like(gate_n)
-    if has_edge:
-        de_bias = next(i).astype(e_bias.dtype)
-        de_val = next(i)
-        de_gate = (next(i).astype(e_gate.dtype) if has_gate
-                   else jnp.zeros_like(e_gate))
-    else:
-        de_bias = jnp.zeros_like(e_bias)
-        de_val = jnp.zeros_like(e_val)
-        de_gate = jnp.zeros_like(e_gate)
-    return (dq, dk, dv, dgate, de_bias, de_val, de_gate,
-            jnp.zeros_like(keep), jnp.zeros_like(src),
+    dqkvg = res[0]
+    de_all = (res[1].astype(e_all.dtype) if has_edge
+              else jnp.zeros_like(e_all))
+    return (dqkvg, de_all, jnp.zeros_like(bits), jnp.zeros_like(src),
             jnp.zeros_like(dst))
 
 
 _tile_core.defvjp(_tile_core_fwd, _tile_core_bwd)
+
+
+def gt_attention_tile_merged(
+    qkvg: jnp.ndarray,           # [Np, (3+gate)·hidden], [q|k|v|gate]
+    edge_src: jnp.ndarray,       # [Ep] int32, tile-packed layout
+    edge_dst: jnp.ndarray,       # [Ep] int32, tile-packed layout
+    num_heads: int,
+    hidden_dim: int,
+    tile_edges: int,
+    e_all: Optional[jnp.ndarray] = None,  # [Ep, hidden+(1+gate)·H],
+                                          # [e_val|e_bias|e_gate]
+    has_gate: bool = False,
+    aggregators: Sequence[str] = ("sum",),
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    tiles_per_step: int = 8,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Merged-operand tile attention (the production entry point; see
+    module docstring). Returns (node_out [Np, hidden*A] in
+    AGGREGATOR-MAJOR [a][h][d] layout, eij [Ep, hidden] or None) —
+    callers needing the reference [h][a][d] layout permute the consumer
+    weight's rows with :func:`gt_pyg_tpu.ops.attention.interleave_perm`.
+    """
+    npad = qkvg.shape[0]
+    ep = edge_src.shape[0]
+    if npad % NT != 0 or ep % tile_edges != 0 \
+            or npad // NT != ep // tile_edges:
+        raise ValueError(
+            f"batch is not tile-packed for tile_edges={tile_edges}: "
+            f"Np={npad}, Ep={ep}")
+    aggs = tuple("sum" if a == "add" else a for a in aggregators)
+    unsupported = [a for a in aggs if a not in ("sum", "mean")]
+    if unsupported:
+        raise NotImplementedError(
+            f"gt_attention_tile supports sum/mean aggregators, got "
+            f"{unsupported}")
+    if qkvg.shape[1] % (3 + int(has_gate)) != 0 \
+            or qkvg.shape[1] // (3 + int(has_gate)) != hidden_dim:
+        raise ValueError(
+            f"qkvg width {qkvg.shape[1]} does not match hidden_dim="
+            f"{hidden_dim} with gate={has_gate}")
+
+    heads = num_heads
+    dh = hidden_dim // heads
+    has_edge = e_all is not None
+    g_fwd = _pick_tiles_per_step(npad // NT, int(tiles_per_step))
+    g_bwd = _pick_tiles_per_step(npad // NT,
+                                 max(1, int(tiles_per_step) // 2))
+
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_rng is not None:
+        bits = jax.random.bits(dropout_rng, (ep, heads), jnp.uint32)
+    else:
+        rate = 0.0
+        bits = jnp.zeros((1,), jnp.uint32)
+
+    cfg = (heads, dh, int(tile_edges), aggs, bool(has_gate),
+           bool(has_edge), rate, g_fwd, g_bwd)
+    dummy = jnp.zeros((1,), qkvg.dtype)
+    out, eij = _tile_core(
+        cfg, qkvg, e_all if has_edge else dummy, bits,
+        edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32))
+    return out, (eij if has_edge else None)
 
 
 def gt_attention_tile(
@@ -560,53 +640,44 @@ def gt_attention_tile(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     tiles_per_step: int = 8,
+    raw_layout: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Tile-fused gt_attention (same contract as the lax path; requires
-    a tile-packed batch). Returns (node_out [Np, hidden*A] in reference
-    [h][a][d] layout, eij [Ep, hidden] or None)."""
+    """Separate-operand wrapper over :func:`gt_attention_tile_merged`
+    (same contract as the lax path; requires a tile-packed batch).
+    Returns (node_out [Np, hidden*A] in reference [h][a][d] layout
+    unless ``raw_layout``, eij [Ep, hidden] or None)."""
     from ..attention import interleave_cols
 
     npad, hidden = q.shape
-    ep = edge_src.shape[0]
-    if npad % NT != 0 or ep % tile_edges != 0 \
-            or npad // NT != ep // tile_edges:
-        raise ValueError(
-            f"batch is not tile-packed for tile_edges={tile_edges}: "
-            f"Np={npad}, Ep={ep}")
-    aggs = tuple("sum" if a == "add" else a for a in aggregators)
-    unsupported = [a for a in aggs if a not in ("sum", "mean")]
-    if unsupported:
-        raise NotImplementedError(
-            f"gt_attention_tile supports sum/mean aggregators, got "
-            f"{unsupported}")
-
-    heads = num_heads
-    dh = hidden // heads
     has_gate = gate_n is not None
     has_edge = e_val is not None
-    g_fwd = _pick_tiles_per_step(npad // NT, int(tile_edges),
-                                 int(tiles_per_step))
-    g_bwd = _pick_tiles_per_step(npad // NT, int(tile_edges),
-                                 max(1, int(tiles_per_step) // 2))
-    cfg = (heads, dh, int(tile_edges), aggs, has_gate, has_edge,
-           g_fwd, g_bwd)
 
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(
-            dropout_rng, 1.0 - dropout_rate,
-            (ep, heads)).astype(jnp.float32) / (1.0 - dropout_rate)
-    else:
-        keep = jnp.ones((ep, heads), jnp.float32)
+    parts = [q, k, v]
+    if has_gate:
+        parts.append(gate_n)
+    qkvg = jnp.concatenate(parts, axis=1)
 
-    dummy = jnp.zeros((1,), q.dtype)
-    out, eij = _tile_core(
-        cfg, q, k, v,
-        gate_n if has_gate else dummy,
-        e_bias if has_edge else dummy,
-        e_val if has_edge else dummy,
-        (e_gate_logits if (has_edge and has_gate) else dummy),
-        keep, edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32))
+    e_all = None
+    if has_edge:
+        heads = num_heads
+        ep = e_val.shape[0]
+        eb = (e_bias if e_bias is not None
+              else jnp.zeros((ep, heads), e_val.dtype))
+        eparts = [e_val, eb.astype(e_val.dtype)]
+        if has_gate:
+            eg = (e_gate_logits if e_gate_logits is not None
+                  else jnp.zeros((ep, heads), e_val.dtype))
+            eparts.append(eg.astype(e_val.dtype))
+        e_all = jnp.concatenate(eparts, axis=1)
 
-    if len(aggs) > 1:
-        out = interleave_cols(out, heads, dh, len(aggs))
-    return out, (eij if has_edge else None)
+    out, eij = gt_attention_tile_merged(
+        qkvg, edge_src, edge_dst, num_heads, hidden, tile_edges,
+        e_all=e_all, has_gate=has_gate, aggregators=aggregators,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        tiles_per_step=tiles_per_step)
+
+    aggs = tuple("sum" if a == "add" else a for a in aggregators)
+    if len(aggs) > 1 and not raw_layout:
+        out = interleave_cols(out, num_heads, hidden // num_heads,
+                              len(aggs))
+    return out, eij

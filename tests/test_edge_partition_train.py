@@ -58,8 +58,10 @@ class TestEdgePartitionedTraining:
         vg = jax.value_and_grad(loss)
         l_single, g_single = jax.jit(vg)(variables["params"], batch)
         l_shard, g_shard = jax.jit(vg)(variables["params"], sharded_batch)
+        # f32 reassociation noise between the sharded and unsharded
+        # reductions (WO's row-permuted apply also reorders one K sum)
         assert np.isclose(float(l_single), float(l_shard),
-                          rtol=1e-6, atol=1e-7)
+                          rtol=5e-6, atol=1e-7)
         from jax.flatten_util import ravel_pytree
 
         fs, _ = ravel_pytree(g_single)
