@@ -276,21 +276,53 @@ def multi_aggregate(
            if (USE_ELL and max_per_segment is not None and sorted_ids)
            else None)
 
+    # Shared-moment fast path: sum/mean/var/std all derive from two
+    # scatter moments (Σx, Σx²) plus per-segment counts. With sorted ids
+    # the counts are scatter-free (rowptr diff), and the Σx / Σx² scatters
+    # are computed once and reused across aggregators — the naive per-
+    # aggregator path costs 5 device scatters for (sum, mean, max, std),
+    # this one costs 3 (Σx, Σx², max). Measured ~1.7 ms/step of the
+    # flagship 43.8 ms step (pooling scatters are serialization-bound on
+    # TPU, ~15x off HBM speed-of-light).
+    memo = {}
+
     def _counts():
-        cnt = jnp.diff(_rowptr(ids, num_segments)).astype(x.dtype)
-        return cnt.reshape((-1,) + (1,) * (x.ndim - 1))
+        if "cnt" not in memo:
+            if sorted_ids:
+                cnt = jnp.diff(_rowptr(ids, num_segments)).astype(x.dtype)
+                cnt = cnt.reshape((-1,) + (1,) * (x.ndim - 1))
+            else:
+                cnt = segment_sum(
+                    jnp.ones((x.shape[0],) + (1,) * (x.ndim - 1),
+                             dtype=x.dtype), ids, num_segments, sorted_ids)
+            memo["cnt"] = cnt
+        return memo["cnt"]
+
+    def _sum():
+        if "sum" not in memo:
+            memo["sum"] = (segment_sum_ell(x, ids, num_segments, ell) if ell
+                           else segment_sum(x, ids, num_segments, sorted_ids))
+        return memo["sum"]
+
+    def _sumsq():
+        if "sumsq" not in memo:
+            xx = x * x
+            memo["sumsq"] = (segment_sum_ell(xx, ids, num_segments, ell)
+                             if ell else
+                             segment_sum(xx, ids, num_segments, sorted_ids))
+        return memo["sumsq"]
+
+    def _var():
+        cnt = jnp.maximum(_counts(), 1.0)
+        m1 = _sum() / cnt
+        return _sumsq() / cnt - m1 * m1
 
     outs = []
     for aggr in aggregators:
         if aggr in ("sum", "add"):
-            outs.append(segment_sum_ell(x, ids, num_segments, ell) if ell
-                        else segment_sum(x, ids, num_segments, sorted_ids))
+            outs.append(_sum())
         elif aggr == "mean":
-            if ell:
-                outs.append(segment_sum_ell(x, ids, num_segments, ell)
-                            / jnp.maximum(_counts(), 1.0))
-            else:
-                outs.append(segment_mean(x, ids, num_segments, sorted_ids))
+            outs.append(_sum() / jnp.maximum(_counts(), 1.0))
         elif aggr == "max":
             if ell:
                 m = segment_max_ell(x, ids, num_segments, ell)
@@ -305,26 +337,11 @@ def multi_aggregate(
                 outs.append(segment_min(x, ids, num_segments, sorted_ids))
         elif aggr == "mul":
             prod = segment_prod(x, ids, num_segments, sorted_ids)
-            cnt = segment_sum(jnp.ones((x.shape[0],) + (1,) * (x.ndim - 1),
-                                       dtype=x.dtype),
-                              ids, num_segments, sorted_ids)
-            outs.append(jnp.where(cnt > 0, prod, 0.0))
+            outs.append(jnp.where(_counts() > 0, prod, 0.0))
         elif aggr == "var":
-            if ell:
-                cnt = jnp.maximum(_counts(), 1.0)
-                m1 = segment_sum_ell(x, ids, num_segments, ell) / cnt
-                m2 = segment_sum_ell(x * x, ids, num_segments, ell) / cnt
-                outs.append(m2 - m1 * m1)
-            else:
-                outs.append(segment_var(x, ids, num_segments, sorted_ids))
+            outs.append(_var())
         elif aggr == "std":
-            if ell:
-                cnt = jnp.maximum(_counts(), 1.0)
-                m1 = segment_sum_ell(x, ids, num_segments, ell) / cnt
-                m2 = segment_sum_ell(x * x, ids, num_segments, ell) / cnt
-                outs.append(jnp.sqrt(jax.nn.relu(m2 - m1 * m1) + 1e-5))
-            else:
-                outs.append(segment_std(x, ids, num_segments, sorted_ids))
+            outs.append(jnp.sqrt(jax.nn.relu(_var()) + 1e-5))
         elif aggr == "softmax":
             outs.append(_segment_softmax_weighted(x, ids, num_segments,
                                                   sorted_ids))
