@@ -81,6 +81,46 @@ class TestSegmentSoftmax:
         alpha = np.asarray(S.segment_softmax(big, ids, ns))
         assert np.all(np.isfinite(alpha))
 
+    def test_unsorted_ids_match_sorted(self, data):
+        """multi_aggregate's scatter-free rowptr counts require sorted
+        ids; the unsorted fallback (counting scatter) must agree."""
+        x, ids, ns = data
+        rng = np.random.default_rng(3)
+        perm = rng.permutation(x.shape[0])
+        got = S.multi_aggregate(x[perm], jnp.asarray(np.asarray(ids)[perm]),
+                                ns, ("sum", "mean", "max", "std"),
+                                sorted_ids=False)
+        want = S.multi_aggregate(x, ids, ns, ("sum", "mean", "max", "std"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_shared_moment_grads_match_naive(self, data):
+        """Grads of the memoized sum/mean/var/std path vs a direct
+        per-aggregator formulation (counts are non-differentiable)."""
+        import jax
+
+        x, ids, ns = data
+        idn = np.asarray(ids)
+        cnt = np.maximum(np.bincount(idn, minlength=ns), 1.0)
+        cnt = jnp.asarray(cnt.astype(np.float32))[:, None]
+
+        def f_fast(x):
+            out = S.multi_aggregate(x, ids, ns,
+                                    ("sum", "mean", "var", "std"))
+            return jnp.sum(out ** 2)
+
+        def f_direct(x):
+            s = jax.ops.segment_sum(x, ids, num_segments=ns)
+            mean = s / cnt
+            m2 = jax.ops.segment_sum(x * x, ids, num_segments=ns) / cnt
+            var = m2 - mean * mean
+            std = jnp.sqrt(jax.nn.relu(var) + 1e-5)
+            return jnp.sum(jnp.concatenate([s, mean, var, std], -1) ** 2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(f_fast)(x)),
+                                   np.asarray(jax.grad(f_direct)(x)),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_trash_segment_isolated(self):
         """Padding edges pointing at the trash segment must not affect real
         segments."""
