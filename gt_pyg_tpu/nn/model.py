@@ -179,10 +179,14 @@ class GraphTransformerNet(nn.Module):
                 e = e * edge_mask[:, None]
 
         # global pooling: nodes are consecutive per graph; padding nodes
-        # carry graph id Bp (trash slot)
+        # carry graph id Bp (trash slot). In the tile-packed layout FFD
+        # reorders graphs across tiles, so node_graph is NOT monotonic —
+        # sorted_ids must be False there (it gates multi_aggregate's
+        # scatter-free rowptr counts, which require truly sorted ids).
         bp = batch.y.shape[0]
         g = multi_aggregate(h, batch.node_graph, bp + 1,
                             tuple(self.aggregators),
+                            sorted_ids=batch.tile_edges is None,
                             max_per_segment=self.max_nodes_per_graph)[:bp]
 
         head_in_dim = len(self.aggregators) * self.hidden_dim
