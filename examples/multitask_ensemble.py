@@ -36,29 +36,84 @@ def _featurize_sets(args, endpoints, tr_df, va_df):
     return tr_ds, va_ds
 
 
+def _make_model(args, endpoints):
+    import jax.numpy as jnp
+
+    from gt_pyg_tpu.nn import GraphTransformerNet
+
+    hidden, layers, heads = (64, 2, 4) if args.debug else (128, 4, 8)
+    return GraphTransformerNet(
+        node_dim_in=140, edge_dim_in=39, hidden_dim=hidden,
+        num_gt_layers=layers, num_heads=heads, dropout=0.3, norm="bn",
+        gate=True, gt_aggregators=("sum", "mean"),
+        aggregators=("sum", "mean", "max", "std"),
+        num_tasks=len(endpoints), attn_impl=args.attn_impl,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+
+def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
+    """All members in ONE vmapped training run (member axis on the MXU
+    batch dim) — ~M× faster wall-clock than the sequential loop on a
+    single chip. Seeds and checkpoint filenames match the sequential
+    path, so ``--eval-only`` ensembles either output."""
+    import jax
+
+    from gt_pyg_tpu.checkpoint import save_model_checkpoint
+    from gt_pyg_tpu.data.loader import iter_batches
+    from gt_pyg_tpu.train import TrainConfig, VmapEnsembleTrainer
+
+    members = list(range(args.start_index,
+                         args.start_index + args.n_models))
+    todo = [mi for mi in members
+            if args.overwrite or not (out_dir / f"model_{mi}.ckpt").exists()]
+    if not todo:
+        print("all member checkpoints exist, skipping training")
+        return
+    model = _make_model(args, endpoints)
+    cfg = TrainConfig(endpoints=tuple(endpoints), epochs=args.epochs,
+                      batch_train=64 if args.debug else 256,
+                      seed=1000 + todo[0],
+                      log_every=max(args.epochs // 20, 1),
+                      t_max=min(500, args.epochs),
+                      eval_every=args.eval_every,
+                      tile_edges=(args.tile_edges
+                                  if args.attn_impl == "tile" else None))
+    ens = VmapEnsembleTrainer(model, cfg, num_members=len(todo),
+                              member_seeds=[1000 + mi for mi in todo])
+    sample = next(iter_batches(tr_ds, cfg.batch_train,
+                               node_multiple=cfg.node_multiple,
+                               edge_multiple=cfg.edge_multiple,
+                               num_tasks=len(endpoints),
+                               tile_edges=cfg.tile_edges,
+                               tiles_multiple=cfg.tiles_multiple))
+    states = ens.init_states(sample)
+    result = ens.fit(states, tr_ds, va_ds)
+    for k, mi in enumerate(todo):
+        best = jax.tree_util.tree_map(lambda x, k=k: x[k],
+                                      result["best_states"])
+        save_model_checkpoint(model, best, out_dir / f"model_{mi}.ckpt",
+                              best_metric=float(result["best_rae"][k]),
+                              extra={"endpoints": endpoints,
+                                     "vmap_ensemble": True,
+                                     "best_epoch":
+                                         int(result["best_epoch"][k])})
+        print(f"model {mi}: best val RAE {result['best_rae'][k]:.4f} "
+              f"@ epoch {int(result['best_epoch'][k])}", flush=True)
+
+
 def _train_members(args, endpoints, tr_ds, va_ds, out_dir):
     import jax
 
     from gt_pyg_tpu.data.loader import iter_batches
-    from gt_pyg_tpu.nn import GraphTransformerNet
     from gt_pyg_tpu.train import Trainer, TrainConfig
     from gt_pyg_tpu.checkpoint import save_model_checkpoint
 
-    hidden, layers, heads = (64, 2, 4) if args.debug else (128, 4, 8)
     for mi in range(args.start_index, args.start_index + args.n_models):
         ckpt_path = out_dir / f"model_{mi}.ckpt"
         if ckpt_path.exists() and not args.overwrite:
             print(f"model {mi}: {ckpt_path} exists, skipping")
             continue
-        import jax.numpy as jnp
-
-        model = GraphTransformerNet(
-            node_dim_in=140, edge_dim_in=39, hidden_dim=hidden,
-            num_gt_layers=layers, num_heads=heads, dropout=0.3, norm="bn",
-            gate=True, gt_aggregators=("sum", "mean"),
-            aggregators=("sum", "mean", "max", "std"),
-            num_tasks=len(endpoints), attn_impl=args.attn_impl,
-            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        model = _make_model(args, endpoints)
         cfg = TrainConfig(endpoints=tuple(endpoints), epochs=args.epochs,
                           batch_train=64 if args.debug else 256,
                           seed=1000 + mi, log_every=max(args.epochs // 5, 1),
@@ -135,6 +190,12 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--eval-only", action="store_true",
                    help="skip training; ensemble all existing model_*.ckpt")
+    p.add_argument("--vmap", action="store_true",
+                   help="train all members simultaneously in one vmapped "
+                        "run (member axis on the MXU batch dim; ~n-models"
+                        "x faster wall-clock on one chip)")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="(vmap mode) validate/model-select every k epochs")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--test-csv", default=None,
                    help="held-out test CSV (raw assay columns OK) for "
@@ -173,7 +234,10 @@ def main(argv=None):
     tr_ds, va_ds = _featurize_sets(args, endpoints, tr_df, va_df)
 
     if not args.eval_only:
-        _train_members(args, endpoints, tr_ds, va_ds, out_dir)
+        if args.vmap:
+            _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir)
+        else:
+            _train_members(args, endpoints, tr_ds, va_ds, out_dir)
 
     ckpts = sorted(out_dir.glob("model_*.ckpt"),
                    key=lambda pth: int(pth.stem.split("_")[1]))

@@ -22,6 +22,7 @@ from .metrics import (  # noqa: F401
 )
 from .schedule import warmup_cosine_factor, make_epoch_lr  # noqa: F401
 from .trainer import Trainer, TrainConfig  # noqa: F401
+from .ensemble import VmapEnsembleTrainer  # noqa: F401
 from .freeze import (  # noqa: F401
     freeze_mask,
     frozen_status,

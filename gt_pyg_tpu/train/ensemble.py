@@ -1,0 +1,270 @@
+"""Vmapped ensemble training: M members in one jitted train step.
+
+The reference's 9-model "beardy-polonium" ensemble (SURVEY.md §2.2,
+``/root/reference/examples/compare_predictions.ipynb`` cell 5) is nine
+independent sequential training runs. On a TPU that is the wrong shape:
+one member's production step (batch 256, hidden 128) leaves most of the
+MXU idle, and nine sequential runs pay the idle nine times.
+
+``VmapEnsembleTrainer`` instead stacks the M member states (params /
+batch_stats / optimizer) along a leading member axis and ``jax.vmap``s
+the SAME per-member train step the single-model :class:`Trainer` uses —
+the member axis rides the MXU batch dimension, so all nine members train
+in one process at a small multiple of one member's step time. Members
+share the minibatch stream (one device-resident gather per step feeds
+all M); diversity comes from per-member init seeds and independent
+dropout / reparameterization / loss-sampling PRNG streams, matching the
+reference's seed-only member diversity.
+
+Best-state tracking is per member and device-resident: a ``[M]`` bool
+improvement mask (host-computed from per-member validation RAE) selects
+between the stacked best and current states with one jitted
+``jnp.where`` per leaf.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.device_dataset import DeviceDataset, materialize_batch
+from ..data.loader import stack_labels
+from .losses import compute_task_scales
+from .metrics import evaluate_predictions, macro_official_avg
+from .trainer import TrainConfig, Trainer
+
+logger = logging.getLogger(__name__)
+
+
+def _bmask(imp: jnp.ndarray, leaf: jnp.ndarray) -> jnp.ndarray:
+    """Reshape a [M] mask to broadcast over a [M, ...] leaf."""
+    return imp.reshape((-1,) + (1,) * (leaf.ndim - 1))
+
+
+class VmapEnsembleTrainer:
+    """Train ``num_members`` models of one architecture simultaneously.
+
+    Wraps a single-member :class:`Trainer` (loss, LR schedule, optimizer,
+    NaN-skip semantics are shared code, not re-implementations) and vmaps
+    its step functions over a leading member axis.
+    """
+
+    def __init__(self, model, config: TrainConfig, num_members: int,
+                 member_seeds: Optional[Sequence[int]] = None):
+        if num_members < 1:
+            raise ValueError(f"num_members must be >= 1, got {num_members}")
+        self.inner = Trainer(model, config)
+        self.model = model
+        self.cfg = config
+        self.m = int(num_members)
+        seeds = (list(member_seeds) if member_seeds is not None
+                 else [config.seed + i for i in range(num_members)])
+        if len(seeds) != num_members:
+            raise ValueError("member_seeds length != num_members")
+        self.seeds = seeds
+        self._fns: dict = {}
+        self._upd_best = jax.jit(
+            lambda best, cur, imp: jax.tree_util.tree_map(
+                lambda b, s: jnp.where(_bmask(imp, s), s, b), best, cur))
+
+    # ---- state ----
+    def init_states(self, sample_batch) -> Dict[str, Any]:
+        """Stacked member states: every leaf gains a leading [M] axis."""
+        states = [self.inner.init_state(sample_batch,
+                                        rng=jax.random.PRNGKey(s))
+                  for s in self.seeds]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    def member_state(self, states, i: int) -> Dict[str, Any]:
+        """Fetch one member's {params, batch_stats} as host numpy."""
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x[i]),
+            {"params": states["params"],
+             "batch_stats": states["batch_stats"]})
+
+    # ---- jitted vmapped steps (per dataset meta, like Trainer) ----
+    def _get_fns(self, dd: DeviceDataset):
+        meta = dd.static_meta()
+        if meta not in self._fns:
+            def train_fn(states, tree, ib, lr, task_scale, rngs):
+                batch = materialize_batch(tree, ib, meta)
+
+                def one(state, rng):
+                    return self.inner._train_step_impl(
+                        state, batch, lr, task_scale, rng)
+
+                return jax.vmap(one)(states, rngs)
+
+            def eval_fn(params, bstats, tree, ib, task_scale):
+                batch = materialize_batch(tree, ib, meta)
+
+                def one(p, b):
+                    return self.inner._eval_step_impl(p, b, batch,
+                                                      task_scale)
+
+                pred, log_var, loss = jax.vmap(one)(params, bstats)
+                return pred, loss, batch.y, batch.y_mask
+
+            self._fns[meta] = (jax.jit(train_fn), jax.jit(eval_fn))
+        return self._fns[meta]
+
+    # ---- epoch drivers ----
+    def train_epoch(self, states, dd: DeviceDataset, task_scale,
+                    epoch: int, rng):
+        c = self.cfg
+        lr = jnp.asarray(self.inner.lr_fn(epoch - 1), jnp.float32)
+        np_rng = np.random.default_rng(c.seed + epoch)
+        train_fn, _ = self._get_fns(dd)
+        tree = dd.device_tree()
+        losses = []
+        for ib in dd.iter_index_batches(c.batch_train, shuffle=True,
+                                        rng=np_rng,
+                                        node_multiple=c.node_multiple,
+                                        edge_multiple=c.edge_multiple,
+                                        tile_edges=c.tile_edges,
+                                        tiles_multiple=c.tiles_multiple,
+                                        tile_pack=c.tile_pack):
+            ib = jax.tree_util.tree_map(jnp.asarray, ib)
+            rng, sk = jax.random.split(rng)
+            rngs = jax.random.split(sk, self.m)          # [M] keys
+            states, loss, ok = train_fn(states, tree, ib, lr, task_scale,
+                                        rngs)
+            losses.append(loss)                           # [M]
+        vals = (np.asarray(jnp.stack(losses)) if losses
+                else np.zeros((1, self.m)))               # [steps, M]
+        finite = np.isfinite(vals)
+        skipped = int((~finite).sum())
+        if skipped:
+            logger.warning("NaN loss in %d member-batch(es); those "
+                           "updates were skipped", skipped)
+        with np.errstate(invalid="ignore"):
+            mean_loss = np.where(
+                finite.any(axis=0),
+                np.nanmean(np.where(finite, vals, np.nan), axis=0),
+                np.nan)
+        return states, mean_loss, rng
+
+    def evaluate(self, states, dd: DeviceDataset, task_scale,
+                 endpoints: Sequence[str]):
+        """Per-member metrics on a (device-resident) eval set.
+
+        Returns (per_member_metrics: list of evaluate_predictions dicts,
+        preds [M, N, T] host array, targets, masks)."""
+        c = self.cfg
+        _, eval_fn = self._get_fns(dd)
+        tree = dd.device_tree()
+        preds_d, ys_d, ms_d, counts = [], [], [], []
+        for ib in dd.iter_index_batches(c.batch_eval, shuffle=False,
+                                        node_multiple=c.node_multiple,
+                                        edge_multiple=c.edge_multiple,
+                                        tile_edges=c.tile_edges,
+                                        tiles_multiple=c.tiles_multiple,
+                                        tile_pack=c.tile_pack):
+            ng = int(ib.num_graphs)
+            ib = jax.tree_util.tree_map(jnp.asarray, ib)
+            pred, loss, y, ym = eval_fn(states["params"],
+                                        states["batch_stats"], tree, ib,
+                                        task_scale)
+            preds_d.append(pred)
+            ys_d.append(y)
+            ms_d.append(ym)
+            counts.append(ng)
+        preds = np.concatenate([np.asarray(p)[:, :n]
+                                for p, n in zip(preds_d, counts)], axis=1)
+        targets = np.concatenate([np.asarray(y)[:n]
+                                  for y, n in zip(ys_d, counts)])
+        masks_np = np.concatenate([np.asarray(m)[:n]
+                                   for m, n in zip(ms_d, counts)])
+        masks = (masks_np * np.isfinite(targets)).astype(np.float32)
+        per_member = [evaluate_predictions(targets, preds[i], masks,
+                                           list(endpoints))
+                      for i in range(self.m)]
+        return per_member, preds, targets, masks
+
+    # ---- full fit loop ----
+    def fit(self, states, train_graphs, val_graphs,
+            eval_every: Optional[int] = None) -> Dict[str, Any]:
+        """Train all members; returns stacked best states + history.
+
+        ``eval_every`` (default ``cfg.eval_every``) evaluates/model-selects
+        every k-th epoch — the vmapped validation pass costs ~a training
+        epoch, so k=2 is a good throughput/selection tradeoff late in
+        long runs."""
+        c = self.cfg
+        k_eval = int(eval_every if eval_every is not None
+                     else max(1, c.eval_every))
+        y_tr, m_tr = stack_labels(train_graphs)
+        task_scale = jnp.asarray(compute_task_scales(y_tr, m_tr))
+        train_mins = np.nanmin(np.where(m_tr > 0, y_tr, np.nan), axis=0)
+        train_maxs = np.nanmax(np.where(m_tr > 0, y_tr, np.nan), axis=0)
+
+        dd_tr = self.inner._get_dd(train_graphs)
+        dd_va = self.inner._get_dd(val_graphs)
+
+        impl = c.prng_impl
+        if impl in (None, "threefry"):
+            rng = jax.random.PRNGKey(c.seed)
+        else:
+            rng = jax.random.key(c.seed, impl=impl)
+
+        best_rae = np.full(self.m, np.inf)
+        best_epoch = np.zeros(self.m, np.int64)
+        best_states = None
+        history: List[Dict[str, Any]] = []
+
+        for epoch in range(1, c.epochs + 1):
+            t0 = time.time()
+            states, train_loss, rng = self.train_epoch(
+                states, dd_tr, task_scale, epoch, rng)
+            rec: Dict[str, Any] = {"epoch": epoch,
+                                   "train_loss": train_loss.tolist(),
+                                   "lr": self.inner.lr_fn(epoch - 1)}
+            if epoch % k_eval == 0 or epoch == c.epochs:
+                per_member, *_ = self.evaluate(states, dd_va, task_scale,
+                                               c.endpoints)
+                raes = np.array([pm["Average"]["RAE"]
+                                 for pm in per_member])
+                rec["val_rae"] = raes.tolist()
+                rec["val_mae"] = [pm["Average"]["MAE"]
+                                  for pm in per_member]
+                improved = np.isfinite(raes) & (raes < best_rae)
+                if improved.any():
+                    best_rae = np.where(improved, raes, best_rae)
+                    best_epoch = np.where(improved, epoch, best_epoch)
+                    cur = {"params": states["params"],
+                           "batch_stats": states["batch_stats"]}
+                    if best_states is None:
+                        best_states = jax.tree_util.tree_map(
+                            lambda x: x.copy(), cur)
+                    else:
+                        best_states = self._upd_best(
+                            best_states, cur, jnp.asarray(improved))
+            rec["time"] = time.time() - t0
+            history.append(rec)
+            if epoch == 1 or epoch % c.log_every == 0 or epoch == c.epochs:
+                vr = rec.get("val_rae")
+                logger.info(
+                    "[Ep %03d] LR=%.1e | loss[mean over %d members]=%.4f"
+                    " | val RAE %s | best %s (%.1fs)",
+                    epoch, rec["lr"], self.m,
+                    float(np.nanmean(train_loss)),
+                    ("[" + ", ".join(f"{v:.3f}" for v in vr) + "]"
+                     if vr else "-"),
+                    "[" + ", ".join(f"{v:.3f}" for v in best_rae) + "]",
+                    rec["time"])
+
+        if best_states is None:       # no eval epoch improved (tiny runs)
+            best_states = jax.tree_util.tree_map(
+                lambda x: x.copy(),
+                {"params": states["params"],
+                 "batch_stats": states["batch_stats"]})
+        return {"state": states, "best_states": best_states,
+                "best_rae": best_rae, "best_epoch": best_epoch,
+                "history": history, "train_mins": train_mins,
+                "train_maxs": train_maxs,
+                "task_scale": np.asarray(task_scale)}

@@ -1,0 +1,137 @@
+"""VmapEnsembleTrainer: per-member equivalence with the single-model
+Trainer, member diversity, best-state tracking, checkpoint compatibility.
+
+The vmapped ensemble is the TPU-native answer to the reference's 9
+sequential member runs (compare_predictions.ipynb "beardy-polonium"
+ensemble) — the member axis must change WHAT is batched, not the math,
+so a vmapped member step must reproduce the single-member step exactly
+under the same PRNG key.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gt_pyg_tpu.data import get_tensor_data
+from gt_pyg_tpu.data.loader import iter_batches
+from gt_pyg_tpu.nn import GraphTransformerNet
+from gt_pyg_tpu.train import Trainer, TrainConfig, VmapEnsembleTrainer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    smis = ["CCO", "CCC", "CCN", "CCCO", "c1ccccc1", "CC(=O)O",
+            "CCOC", "CCCC", "CCNC", "CC(C)O"]
+    y = [[v, v * 0.5] for v in np.linspace(0.0, 3.0, len(smis))]
+    ds = get_tensor_data(smis, y, progress=False)
+    model = GraphTransformerNet(node_dim_in=140, edge_dim_in=39,
+                                hidden_dim=16, num_gt_layers=1,
+                                num_heads=2, dropout=0.1, norm="bn",
+                                gate=True, num_tasks=2)
+    cfg = TrainConfig(endpoints=("a", "b"), epochs=4, batch_train=4,
+                      batch_eval=8, node_multiple=32, edge_multiple=64,
+                      loss="mae", log_every=10, warmup_epochs=1, t_max=4)
+    return model, cfg, ds
+
+
+def _tree_allclose(a, b, **kw):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    for x, y in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(x, np.float64),
+                                   np.asarray(y, np.float64), **kw)
+
+
+class TestStepEquivalence:
+    def test_m1_vmapped_step_matches_single_trainer_step(self, setup):
+        """A 1-member vmapped step must equal the plain Trainer step
+        bit-for-bit under the same key and batch."""
+        model, cfg, ds = setup
+        trainer = Trainer(model, cfg)
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=64, num_tasks=2))
+        state = trainer.init_state(sample, rng=jax.random.PRNGKey(1000))
+        ens = VmapEnsembleTrainer(model, cfg, num_members=1,
+                                  member_seeds=[1000])
+        states = ens.init_states(sample)
+        _tree_allclose(states["params"],
+                       jax.tree_util.tree_map(lambda x: x[None],
+                                              state["params"]))
+
+        jb = jax.tree_util.tree_map(jnp.asarray, sample)
+        lr = jnp.asarray(1e-3, jnp.float32)
+        ts = jnp.ones((2,), jnp.float32)
+        key = jax.random.PRNGKey(7)
+        new_state, loss, ok = trainer._train_step_impl(state, jb, lr, ts,
+                                                       key)
+
+        def one(s, r):
+            return trainer._train_step_impl(s, jb, lr, ts, r)
+
+        new_states, losses, oks = jax.vmap(one)(states, key[None])
+        assert losses.shape == (1,)
+        np.testing.assert_allclose(float(losses[0]), float(loss),
+                                   rtol=1e-6)
+        _tree_allclose(
+            new_states["params"],
+            jax.tree_util.tree_map(lambda x: x[None], new_state["params"]),
+            rtol=1e-6, atol=1e-7)
+
+
+class TestFit:
+    def test_fit_members_diverge_and_track_best(self, setup, tmp_path):
+        model, cfg, ds = setup
+        ens = VmapEnsembleTrainer(model, cfg, num_members=2,
+                                  member_seeds=[1000, 1001])
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=64, num_tasks=2))
+        states = ens.init_states(sample)
+        res = ens.fit(states, ds[:8], ds[8:])
+        assert len(res["history"]) == cfg.epochs
+        assert res["best_rae"].shape == (2,)
+        assert np.all(np.isfinite(res["best_rae"]))
+        assert res["best_epoch"].min() >= 1
+        # members must differ (different init seeds)
+        p0 = ens.member_state(res["best_states"], 0)
+        p1 = ens.member_state(res["best_states"], 1)
+        diffs = [np.abs(a - b).max() for a, b in zip(
+            jax.tree_util.tree_leaves(p0["params"]),
+            jax.tree_util.tree_leaves(p1["params"]))]
+        assert max(diffs) > 1e-4
+
+        # checkpoint round trip through the standard writer
+        from gt_pyg_tpu.checkpoint import (load_model_checkpoint,
+                                           save_model_checkpoint)
+
+        path = tmp_path / "member0.ckpt"
+        save_model_checkpoint(model, p0, path,
+                              best_metric=float(res["best_rae"][0]))
+        m2, restored, _ = load_model_checkpoint(path)
+        _tree_allclose(restored["params"], p0["params"], rtol=0, atol=0)
+
+    def test_eval_every_skips_selection_epochs(self, setup):
+        model, cfg, ds = setup
+        ens = VmapEnsembleTrainer(model, cfg, num_members=2)
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=64, num_tasks=2))
+        states = ens.init_states(sample)
+        res = ens.fit(states, ds[:8], ds[8:], eval_every=2)
+        evald = [h for h in res["history"] if "val_rae" in h]
+        assert len(evald) == cfg.epochs // 2
+        assert all(h["epoch"] % 2 == 0 for h in evald)
+
+    def test_evaluate_per_member_shapes(self, setup):
+        model, cfg, ds = setup
+        ens = VmapEnsembleTrainer(model, cfg, num_members=3)
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=64, num_tasks=2))
+        states = ens.init_states(sample)
+        dd = ens.inner._get_dd(ds)
+        per_member, preds, targets, masks = ens.evaluate(
+            states, dd, jnp.ones((2,), jnp.float32), cfg.endpoints)
+        assert len(per_member) == 3
+        assert preds.shape == (3, len(ds), 2)
+        assert targets.shape == (len(ds), 2)
