@@ -208,10 +208,19 @@ def main(argv=None):
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # expose the cpu backend next to the accelerator so un-jitted
+    # model.init runs on the host (seconds instead of minutes of remote
+    # op-by-op dispatch over tunnelled runtimes) — same as cli.py
+    try:
+        cur = jax.config.jax_platforms or ""
+        if cur and "cpu" not in cur:
+            jax.config.update("jax_platforms", cur + ",cpu")
+    except Exception:
+        pass
 
     import pandas as pd
 
