@@ -87,16 +87,24 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
                                tile_edges=cfg.tile_edges,
                                tiles_multiple=cfg.tiles_multiple))
     states = ens.init_states(sample)
-    result = ens.fit(states, tr_ds, va_ds)
+
+    def save_members(epoch, best_states, best_rae, best_epoch):
+        for k, mi in enumerate(todo):
+            best = jax.tree_util.tree_map(lambda x, k=k: x[k], best_states)
+            save_model_checkpoint(
+                model, best, out_dir / f"model_{mi}.ckpt",
+                best_metric=float(best_rae[k]),
+                extra={"endpoints": endpoints, "vmap_ensemble": True,
+                       "saved_at_epoch": int(epoch),
+                       "best_epoch": int(best_epoch[k])})
+
+    # persist the stacked best states every 100 epochs so a killed run
+    # still lands its members (the final call re-saves at fit end)
+    result = ens.fit(states, tr_ds, va_ds, checkpoint_cb=save_members,
+                     checkpoint_every=100)
+    save_members(args.epochs, result["best_states"], result["best_rae"],
+                 result["best_epoch"])
     for k, mi in enumerate(todo):
-        best = jax.tree_util.tree_map(lambda x, k=k: x[k],
-                                      result["best_states"])
-        save_model_checkpoint(model, best, out_dir / f"model_{mi}.ckpt",
-                              best_metric=float(result["best_rae"][k]),
-                              extra={"endpoints": endpoints,
-                                     "vmap_ensemble": True,
-                                     "best_epoch":
-                                         int(result["best_epoch"][k])})
         print(f"model {mi}: best val RAE {result['best_rae'][k]:.4f} "
               f"@ epoch {int(result['best_epoch'][k])}", flush=True)
 

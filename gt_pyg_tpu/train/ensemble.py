@@ -188,13 +188,20 @@ class VmapEnsembleTrainer:
 
     # ---- full fit loop ----
     def fit(self, states, train_graphs, val_graphs,
-            eval_every: Optional[int] = None) -> Dict[str, Any]:
+            eval_every: Optional[int] = None,
+            checkpoint_cb=None, checkpoint_every: int = 0
+            ) -> Dict[str, Any]:
         """Train all members; returns stacked best states + history.
 
         ``eval_every`` (default ``cfg.eval_every``) evaluates/model-selects
         every k-th epoch — the vmapped validation pass costs ~a training
         epoch, so k=2 is a good throughput/selection tradeoff late in
-        long runs."""
+        long runs.
+
+        ``checkpoint_cb(epoch, best_states, best_rae, best_epoch)`` is
+        invoked every ``checkpoint_every`` epochs (and at the end) once
+        any best state exists — long multi-member runs survive
+        interruption by persisting the stacked best states mid-flight."""
         c = self.cfg
         k_eval = int(eval_every if eval_every is not None
                      else max(1, c.eval_every))
@@ -246,6 +253,11 @@ class VmapEnsembleTrainer:
                             best_states, cur, jnp.asarray(improved))
             rec["time"] = time.time() - t0
             history.append(rec)
+            if (checkpoint_cb is not None and best_states is not None
+                    and checkpoint_every > 0
+                    and (epoch % checkpoint_every == 0
+                         or epoch == c.epochs)):
+                checkpoint_cb(epoch, best_states, best_rae, best_epoch)
             if epoch == 1 or epoch % c.log_every == 0 or epoch == c.epochs:
                 vr = rec.get("val_rae")
                 logger.info(

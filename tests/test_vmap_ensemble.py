@@ -112,6 +112,19 @@ class TestFit:
         m2, restored, _ = load_model_checkpoint(path)
         _tree_allclose(restored["params"], p0["params"], rtol=0, atol=0)
 
+    def test_periodic_checkpoint_callback(self, setup):
+        model, cfg, ds = setup
+        ens = VmapEnsembleTrainer(model, cfg, num_members=2)
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=64, num_tasks=2))
+        states = ens.init_states(sample)
+        calls = []
+        ens.fit(states, ds[:8], ds[8:],
+                checkpoint_cb=lambda ep, bs, br, be: calls.append(ep),
+                checkpoint_every=2)
+        # fires on epochs 2, 4 (=end); never before a best state exists
+        assert calls == [2, 4]
+
     def test_eval_every_skips_selection_epochs(self, setup):
         model, cfg, ds = setup
         ens = VmapEnsembleTrainer(model, cfg, num_members=2)
