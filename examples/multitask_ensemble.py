@@ -54,18 +54,40 @@ def _make_model(args, endpoints):
 def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
     """All members in ONE vmapped training run (member axis on the MXU
     batch dim) — ~M× faster wall-clock than the sequential loop on a
-    single chip. Seeds and checkpoint filenames match the sequential
-    path, so ``--eval-only`` ensembles either output."""
+    single chip. Member INIT seeds and checkpoint filenames match the
+    sequential path (so ``--eval-only`` ensembles either output), but the
+    shuffle/minibatch stream is shared across vmapped members — members
+    are not step-for-step reproductions of seed-matched sequential runs."""
     import jax
 
-    from gt_pyg_tpu.checkpoint import save_model_checkpoint
+    from gt_pyg_tpu.checkpoint import (get_checkpoint_info,
+                                       save_model_checkpoint)
     from gt_pyg_tpu.data.loader import iter_batches
     from gt_pyg_tpu.train import TrainConfig, VmapEnsembleTrainer
 
+    def _needs_training(mi):
+        """A member needs (re)training unless a FULLY-trained checkpoint
+        exists: periodic mid-run saves stamp ``saved_at_epoch`` in extra,
+        so a run killed at epoch k<epochs is detected and retrained
+        instead of being silently ensembled half-trained."""
+        path = out_dir / f"model_{mi}.ckpt"
+        if args.overwrite or not path.exists():
+            return True
+        try:
+            extra = get_checkpoint_info(path).get("extra") or {}
+        except Exception as exc:
+            print(f"model {mi}: unreadable checkpoint ({exc}); retraining")
+            return True
+        saved_at = extra.get("saved_at_epoch")
+        if saved_at is not None and int(saved_at) < args.epochs:
+            print(f"model {mi}: checkpoint is a partial save from epoch "
+                  f"{saved_at} < {args.epochs}; retraining")
+            return True
+        return False
+
     members = list(range(args.start_index,
                          args.start_index + args.n_models))
-    todo = [mi for mi in members
-            if args.overwrite or not (out_dir / f"model_{mi}.ckpt").exists()]
+    todo = [mi for mi in members if _needs_training(mi)]
     if not todo:
         print("all member checkpoints exist, skipping training")
         return
@@ -90,6 +112,13 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
 
     def save_members(epoch, best_states, best_rae, best_epoch):
         for k, mi in enumerate(todo):
+            if not np.isfinite(best_rae[k]):
+                # this member never produced a finite validation RAE
+                # (diverged); its "best" state is an arbitrary snapshot —
+                # don't present it as a trained member
+                print(f"model {mi}: no finite val RAE yet (diverged?); "
+                      "NOT saving a checkpoint for it", flush=True)
+                continue
             best = jax.tree_util.tree_map(lambda x, k=k: x[k], best_states)
             save_model_checkpoint(
                 model, best, out_dir / f"model_{mi}.ckpt",
@@ -201,7 +230,9 @@ def main(argv=None):
     p.add_argument("--vmap", action="store_true",
                    help="train all members simultaneously in one vmapped "
                         "run (member axis on the MXU batch dim; ~n-models"
-                        "x faster wall-clock on one chip)")
+                        "x faster wall-clock on one chip). Checkpoints are "
+                        "format-compatible with the sequential path, but "
+                        "the minibatch stream is shared across members")
     p.add_argument("--eval-every", type=int, default=1,
                    help="(vmap mode) validate/model-select every k epochs")
     p.add_argument("--overwrite", action="store_true")
@@ -220,15 +251,17 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    # expose the cpu backend next to the accelerator so un-jitted
-    # model.init runs on the host (seconds instead of minutes of remote
-    # op-by-op dispatch over tunnelled runtimes) — same as cli.py
-    try:
-        cur = jax.config.jax_platforms or ""
-        if cur and "cpu" not in cur:
-            jax.config.update("jax_platforms", cur + ",cpu")
-    except Exception:
-        pass
+    else:
+        # expose the cpu backend next to the accelerator so un-jitted
+        # model.init runs on the host (seconds instead of minutes of
+        # remote op-by-op dispatch over tunnelled runtimes) — same as
+        # cli.py; an explicitly forced --platform is left untouched
+        try:
+            cur = jax.config.jax_platforms or ""
+            if cur and "cpu" not in cur:
+                jax.config.update("jax_platforms", cur + ",cpu")
+        except Exception:
+            pass
 
     import pandas as pd
 
