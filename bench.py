@@ -159,8 +159,18 @@ def measure(args, batch_graphs):
     )
     variables = init_on_host(model, batch, jax.random.PRNGKey(0))
     jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    # Linear LR warmup like the production recipe (train_logd.ipynb cell
+    # 11 warms up over 25 epochs). Without it the step is a knife's edge:
+    # at init log_var sits at its +10 clamp (std≈e^5), the sampled preds
+    # all hit the ±100 loss clip, and whether lr=1e-3 escapes or digs in
+    # was decided by bf16 fusion-level rounding (BENCH_r02's loss 7.2→85
+    # was the dig-in branch; an identical-math program with different aux
+    # outputs converged to 0.58 on the same rng stream).
+    schedule = optax.join_schedules(
+        [optax.linear_schedule(1e-5, 1e-3, args.warmup_steps),
+         optax.constant_schedule(1e-3)], [args.warmup_steps])
     tx = optax.chain(optax.clip_by_global_norm(5.0),
-                     optax.adamw(1e-3, weight_decay=1e-5))
+                     optax.adamw(schedule, weight_decay=1e-5))
     opt_state = tx.init(variables["params"])
     task_scale = jnp.ones((1,), jnp.float32)
 
@@ -180,25 +190,53 @@ def measure(args, batch_graphs):
                 mutable=["batch_stats"])
             pred = pred.astype(jnp.float32)
             valid = batch.y_mask * jnp.isfinite(batch.y).astype(jnp.float32)
+            # pred stays in the aux and feeds `ok` below: keeping pred
+            # live as a program output works around an XLA/TPU wrong-code
+            # compile that folded the entire backward to EXACT ZEROS when
+            # pred was dead after the loss (same math, same keys: gnorm
+            # 2177 with pred kept vs 0.0 without — tools/diag_grads.py,
+            # RESULTS.md round 3). Mirrors train/trainer.py.
             return loss_fn(pred, batch.y, valid, task_scale=task_scale,
-                           rng=rl), upd["batch_stats"]
+                           rng=rl), (upd["batch_stats"], pred)
 
-        (loss, nb), grads = jax.value_and_grad(f, has_aux=True)(params)
+        (loss, (nb, pred)), grads = jax.value_and_grad(
+            f, has_aux=True)(params)
         updates, no = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         # production guard (train/trainer.py): skip the update on a
         # non-finite gradient so one bad step can't poison the params —
         # lr=1e-3 on a single repeated batch spikes occasionally
-        ok = jnp.isfinite(optax.global_norm(grads))
+        ok = (jnp.isfinite(optax.global_norm(grads))
+              & jnp.isfinite(pred).all())
         new_params, no, nb = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b),
             (new_params, no, nb), (params, opt_state, bstats))
         return new_params, nb, no, loss
 
+    # Deterministic sanity loss (pred = mu, no dropout, batch-moment BN):
+    # the TRAINING loss is spiky by construction — the variational readout
+    # samples pred = mu + sigma*eps during training (reference
+    # model.py:334-341), and on an occasional step an eps outlier times a
+    # not-yet-shrunk sigma sends the R2/tau terms through the roof for that
+    # single step (BENCH_r02 recorded such a step as loss_last=85.3 while
+    # the trajectory around it sat at 0.6). The convergence check below
+    # therefore uses this deterministic loss; per-step training losses are
+    # recorded as the trajectory.
+    @jax.jit
+    def eval_loss(params, bstats, batch):
+        pred, _ = model.apply(
+            {"params": params, "batch_stats": bstats}, batch,
+            deterministic=True, zero_var=True)
+        pred = pred.astype(jnp.float32)
+        valid = batch.y_mask * jnp.isfinite(batch.y).astype(jnp.float32)
+        return loss_fn(pred, batch.y, valid, task_scale=task_scale,
+                       rng=jax.random.key(0, impl="rbg"))
+
     params, bstats = variables["params"], variables.get("batch_stats", {})
     # rbg keys are the framework default: threefry key derivation measured
     # ~11 ms/step of the 62.5 ms flagship step on v5e (RESULTS.md)
     rng = jax.random.key(0, impl="rbg")
+    eval_first = float(eval_loss(params, bstats, jb))
 
     print(f"# [{args.attn_impl} b={batch_graphs}] setup "
           f"{time.time()-t_setup:.1f}s; compiling...",
@@ -212,22 +250,34 @@ def measure(args, batch_graphs):
 
     def run_steps(n, params, bstats, opt_state, rng):
         t0 = time.time()
+        losses = []  # device scalars; fetching deferred past the timer
         for i in range(n):
             rng = jax.random.fold_in(rng, i)
             params, bstats, opt_state, loss = train_step(
                 params, bstats, opt_state, jb, rng)
-        val = float(loss)  # forced round trip
-        return time.time() - t0, val, params, bstats, opt_state, rng
+            losses.append(loss)
+        losses[-1].block_until_ready()
+        dt = time.time() - t0
+        return dt, losses, params, bstats, opt_state, rng
 
     # tunnel fetch latency is fat-tailed; time two long runs, take faster
     n = args.steps
-    t_a, loss_val, params, bstats, opt_state, rng = run_steps(
+    t_a, losses_a, params, bstats, opt_state, rng = run_steps(
         n, params, bstats, opt_state, rng)
     print(f"# run1 {n} steps: {t_a:.1f}s", file=sys.stderr, flush=True)
-    t_b, loss_val, params, bstats, opt_state, rng = run_steps(
+    t_b, losses_b, params, bstats, opt_state, rng = run_steps(
         n, params, bstats, opt_state, rng)
     print(f"# run2 {n} steps: {t_b:.1f}s", file=sys.stderr, flush=True)
     dt = min(t_a, t_b) / n
+
+    import numpy as np
+    traj = np.asarray([float(v) for v in losses_a + losses_b])
+    eval_last = float(eval_loss(params, bstats, jb))
+    converged = eval_last < eval_first
+    if not converged:
+        print(f"# WARNING: deterministic eval loss did not decrease "
+              f"({eval_first:.4f} -> {eval_last:.4f}) — the measured "
+              f"step may be training-broken", file=sys.stderr, flush=True)
 
     npad = int(batch.node_x.shape[0])
     ep = int(batch.edge_attr.shape[0])
@@ -250,7 +300,17 @@ def measure(args, batch_graphs):
         "norm_fold": args.norm_fold,
         "compile_s": round(t_compile, 1),
         "loss_first": loss_first,
-        "loss_last": loss_val,
+        "loss_last": float(traj[-1]),
+        "loss_traj": {"first": float(traj[0]), "min": float(traj.min()),
+                      "max": float(traj.max()),
+                      "median_last20": float(np.median(traj[-20:]))},
+        "eval_loss_first": eval_first,
+        "eval_loss_last": eval_last,
+        "converged": bool(converged),
+        "loss_note": ("training losses sample the variational readout "
+                      "(pred = mu + sigma*eps) and single steps spike by "
+                      "design; eval_loss_* is the deterministic (zero_var, "
+                      "eval-mode) convergence check"),
     }
 
 
@@ -267,6 +327,9 @@ def main():
     p.add_argument("--tile-pack", default="ffd",
                    choices=["ffd", "nextfit"])
     p.add_argument("--steps", type=int, default=TIMED_STEPS)
+    p.add_argument("--warmup-steps", type=int, default=50,
+                   help="linear LR warmup steps (the production recipe "
+                        "warms up over 25 epochs; 0 disables)")
     p.add_argument("--sweep", default=None,
                    help="comma-separated batch sizes; report the best")
     args = p.parse_args()

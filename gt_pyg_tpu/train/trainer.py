@@ -249,19 +249,31 @@ class Trainer:
             y, mask = batch.y, batch.y_mask
             valid_mask = mask * jnp.isfinite(y).astype(mask.dtype)
             loss = self._loss(pred, y, valid_mask, task_scale, rng_loss)
-            return loss, updates.get("batch_stats", state["batch_stats"])
+            # pred rides the aux and feeds the returned `ok`: beyond the
+            # finiteness check itself, keeping pred live as a program
+            # output works around an observed XLA/TPU wrong-code compile
+            # in which the whole backward was folded to EXACT ZEROS when
+            # pred was dead after the loss (bf16 flagship config on v5e:
+            # same math, same keys — gnorm 2177 with pred kept as aux vs
+            # gnorm 0.0 without; see tools/diag_grads.py and RESULTS.md
+            # round 3).
+            return loss, (updates.get("batch_stats",
+                                      state["batch_stats"]), pred)
 
-        (loss, new_bstats), grads = jax.value_and_grad(
+        (loss, (new_bstats, pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
 
+        pred_ok = jnp.isfinite(pred).all()
         if axis is not None:
             # data-parallel: all-reduce over ICI. batch_stats are already
             # globally-synced when the model carries bn_axis_name; the
             # pmean is then an identity (and the correct average when it
-            # does not).
+            # does not). pred_ok must agree across replicas or the
+            # skip-guard would fork the replicated params.
             grads = jax.lax.pmean(grads, axis)
             loss = jax.lax.pmean(loss, axis)
             new_bstats = jax.lax.pmean(new_bstats, axis)
+            pred_ok = jax.lax.pmin(pred_ok.astype(jnp.int32), axis) > 0
 
         if self.frozen_mask is not None:
             grads = jax.tree_util.tree_map(
@@ -280,7 +292,9 @@ class Trainer:
         # NaN batch skip (reference cell 9, hardened): the loss can be
         # finite while the grads are not (a 0*inf in the backward only),
         # which would poison the params with ok=True — guard on both.
-        ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+        # The pred term also pins pred as a live output (see loss_fn).
+        ok = (jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+              & pred_ok)
         new_params = _tree_where(ok, new_params, state["params"])
         new_opt = _tree_where(ok, new_opt, opt_state)
         new_bstats = _tree_where(ok, new_bstats, state["batch_stats"])
