@@ -150,7 +150,11 @@ class GTConv(nn.Module):
         edge_perm_src: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         tile_edges: Optional[int] = None,
+        bn_frozen: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """``bn_frozen``: normalize with RUNNING stats even in training —
+        the reference flips a frozen layer's BatchNorms to eval mode
+        (``model.py:374-385``)."""
         self._validate()
         if self.edge_in_dim is not None and edge_attr is None:
             raise ValueError(
@@ -161,7 +165,7 @@ class GTConv(nn.Module):
         dense = lambda feats, name, use_bias=True: nn.Dense(
             feats, use_bias=use_bias, kernel_init=xavier_uniform(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name=name)
-        use_ra = deterministic
+        use_ra = deterministic or bn_frozen
         fold = self._fold_norms()
 
         x_res = x

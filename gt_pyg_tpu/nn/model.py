@@ -123,9 +123,18 @@ class GraphTransformerNet(nn.Module):
         zero_var: bool = False,
         return_latent: bool = False,
         deterministic: bool = True,
+        frozen_norms: Sequence[str] = (),
     ):
+        """``frozen_norms``: static top-level module names whose
+        BatchNorms must normalize with RUNNING stats even in training —
+        the reference flips frozen components' BatchNorms to eval mode
+        (``model.py:374-385``), so a frozen backbone normalizes with its
+        pretrained statistics during fine-tuning. Valid entries:
+        ``input_norm``, ``gt_layer_{i}``, ``readout_norm`` (the Trainer
+        derives them from ``frozen_bstats_mask``)."""
         self._validate()
         use_ra = deterministic
+        frozen_norms = tuple(frozen_norms)
         dense = lambda feats, name, use_bias=True: nn.Dense(
             feats, use_bias=use_bias, kernel_init=xavier_uniform(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name=name)
@@ -136,7 +145,8 @@ class GraphTransformerNet(nn.Module):
 
         h = dense(self.hidden_dim, "node_emb", use_bias=False)(x)
         h = make_norm(self.norm, self.hidden_dim, self.bn_axis_name,
-                      self.dtype, name="input_norm")(h, node_mask, use_ra)
+                      self.dtype, name="input_norm")(
+            h, node_mask, use_ra or "input_norm" in frozen_norms)
         h = Dropout(rate=self.dropout, name="input_dropout")(
             h, deterministic=deterministic)
         # keep padding rows identically zero through the stack
@@ -173,7 +183,8 @@ class GraphTransformerNet(nn.Module):
               node_mask=node_mask, edge_mask=edge_mask,
               edge_perm_src=getattr(batch, "edge_perm_src", None),
               deterministic=deterministic,
-              tile_edges=getattr(batch, "tile_edges", None))
+              tile_edges=getattr(batch, "tile_edges", None),
+              bn_frozen=f"gt_layer_{li}" in frozen_norms)
             h = h * node_mask[:, None]
             if e is not None:
                 e = e * edge_mask[:, None]
@@ -192,7 +203,8 @@ class GraphTransformerNet(nn.Module):
         head_in_dim = len(self.aggregators) * self.hidden_dim
         latent = make_norm(self.norm, head_in_dim, self.bn_axis_name,
                            self.dtype, name="readout_norm")(
-            g, batch.graph_mask, use_ra)
+            g, batch.graph_mask,
+            use_ra or "readout_norm" in frozen_norms)
         g = Dropout(rate=self.resolved_head_dropout,
                        name="readout_dropout")(latent,
                                                deterministic=deterministic)

@@ -234,6 +234,20 @@ class Trainer:
         )
 
     # ---- steps ----
+    def _frozen_norm_names(self):
+        """Top-level modules whose batch_stats are fully frozen: their
+        BatchNorms normalize with RUNNING stats during training (the
+        reference flips frozen components' BNs to eval, model.py:374-385).
+        Static tuple — read at trace time."""
+        if self.frozen_bstats_mask is None:
+            return ()
+        names = []
+        for k, v in self.frozen_bstats_mask.items():
+            leaves = jax.tree_util.tree_leaves(v)
+            if leaves and all(bool(x) for x in leaves):
+                names.append(str(k))
+        return tuple(sorted(names))
+
     def _train_step_impl(self, state, batch: GraphBatch, lr, task_scale,
                          rng, axis=None):
         rng_drop, rng_rep, rng_loss = jax.random.split(rng, 3)
@@ -244,6 +258,7 @@ class Trainer:
             (pred, _), updates = self.model.apply(
                 variables, batch, deterministic=False,
                 zero_var=self.cfg.zero_var,
+                frozen_norms=self._frozen_norm_names(),
                 rngs={"dropout": rng_drop, "reparam": rng_rep},
                 mutable=["batch_stats"])
             y, mask = batch.y, batch.y_mask

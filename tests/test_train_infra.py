@@ -265,3 +265,77 @@ class TestBnFreeze:
         assert not np.array_equal(
             before["readout_norm"]["mean"],
             np.asarray(after["readout_norm"]["mean"]))
+
+    def test_frozen_bn_forward_uses_running_stats(self):
+        """Reference BN-eval-on-freeze FORWARD semantics
+        (model.py:374-385): a frozen component's BatchNorm normalizes
+        with RUNNING stats during training, so (with dropout 0 and
+        zero_var) the train-mode forward of a fully-frozen model equals
+        its eval-mode forward — while the unfrozen train-mode forward
+        (batch moments) differs."""
+        import jax
+
+        from gt_pyg_tpu.data import get_tensor_data, pad_graph_batch
+        from gt_pyg_tpu.nn import GraphTransformerNet
+
+        ds = get_tensor_data(["CCO", "CCC", "CCN", "CCCO"],
+                             [1.0, 2.0, 3.0, 4.0], progress=False)
+        batch = pad_graph_batch(ds, node_multiple=32, edge_multiple=32,
+                                graph_pad=4)
+        model = GraphTransformerNet(node_dim_in=140, edge_dim_in=39,
+                                    hidden_dim=16, num_gt_layers=2,
+                                    num_heads=2, dropout=0.0, norm="bn")
+        v = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                       deterministic=True)
+        rngs = {"dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        frozen_all = ("input_norm", "gt_layer_0", "gt_layer_1",
+                      "readout_norm")
+
+        eval_pred, _ = model.apply(v, batch, deterministic=True)
+        (train_frozen, _), _ = model.apply(
+            v, batch, deterministic=False, zero_var=True,
+            frozen_norms=frozen_all, rngs=rngs, mutable=["batch_stats"])
+        (train_live, _), _ = model.apply(
+            v, batch, deterministic=False, zero_var=True,
+            rngs=rngs, mutable=["batch_stats"])
+
+        np.testing.assert_allclose(np.asarray(train_frozen),
+                                   np.asarray(eval_pred),
+                                   rtol=1e-5, atol=1e-6)
+        assert not np.allclose(np.asarray(train_live),
+                               np.asarray(eval_pred), atol=1e-3)
+
+        # partial freeze: differs from both the fully-live and the
+        # fully-frozen forwards
+        (train_part, _), _ = model.apply(
+            v, batch, deterministic=False, zero_var=True,
+            frozen_norms=("gt_layer_0",), rngs=rngs,
+            mutable=["batch_stats"])
+        assert not np.allclose(np.asarray(train_part),
+                               np.asarray(eval_pred), atol=1e-3)
+        assert not np.allclose(np.asarray(train_part),
+                               np.asarray(train_live), atol=1e-3)
+
+    def test_trainer_derives_frozen_norms_from_bstats_mask(self):
+        from gt_pyg_tpu.data import get_tensor_data
+        from gt_pyg_tpu.data.loader import iter_batches
+        from gt_pyg_tpu.nn import GraphTransformerNet
+        from gt_pyg_tpu.train import Trainer, TrainConfig
+        from gt_pyg_tpu.train.freeze import freeze_mask
+
+        ds = get_tensor_data(["CCO", "CCC"], [1.0, 2.0], progress=False)
+        model = GraphTransformerNet(node_dim_in=140, edge_dim_in=39,
+                                    hidden_dim=16, num_gt_layers=2,
+                                    num_heads=2, dropout=0.0, norm="bn")
+        cfg = TrainConfig(endpoints=("y",), epochs=1, batch_train=2,
+                          node_multiple=32, edge_multiple=32, loss="mae")
+        trainer = Trainer(model, cfg)
+        sample = next(iter_batches(ds, 2, node_multiple=32,
+                                   edge_multiple=32))
+        state = trainer.init_state(sample)
+        assert trainer._frozen_norm_names() == ()
+        trainer.frozen_bstats_mask = freeze_mask(state["batch_stats"],
+                                                 "encoder", num_layers=2)
+        assert trainer._frozen_norm_names() == (
+            "gt_layer_0", "gt_layer_1", "input_norm")
