@@ -105,14 +105,18 @@ def make_edge_partitioned_train_step(model, tx, loss_fn, mesh: Mesh,
                 mutable=["batch_stats"])
             y, mask = batch.y, batch.y_mask
             valid = mask * jnp.isfinite(y).astype(mask.dtype)
+            # pred rides the aux into the returned ok (finiteness check +
+            # keeps pred live as a program output — see the wrong-code
+            # note in train/trainer.py:_train_step_impl)
             return loss_fn(pred, y, valid, task_scale, rng_loss), \
-                updates.get("batch_stats", batch_stats)
+                (updates.get("batch_stats", batch_stats), pred)
 
-        (loss, new_bstats), grads = jax.value_and_grad(
+        (loss, (new_bstats, pred)), grads = jax.value_and_grad(
             f, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        ok = jnp.isfinite(loss)
+        ok = (jnp.isfinite(loss) & jnp.isfinite(pred).all()
+              & jnp.isfinite(optax.global_norm(grads)))
         sel = lambda a, b: jax.tree_util.tree_map(
             lambda x, y: jnp.where(ok, x, y), a, b)
         return (sel(new_params, params), sel(new_bstats, batch_stats),
