@@ -53,6 +53,10 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
                         "1.42x at 384, RESULTS.md)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params)")
+    p.add_argument("--norm-fold", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fold BatchNorm affines into the following "
+                        "projections ('auto': fold under bf16 compute)")
 
 
 def _parse_mesh(spec) -> int:
@@ -89,6 +93,7 @@ def _build_model(args, num_tasks: int, bn_axis_name=None):
         aggregators=tuple(args.aggregators.split(",")),
         num_tasks=num_tasks, attn_impl=args.attn_impl,
         ffn_impl=getattr(args, "ffn_impl", "auto"),
+        norm_fold=getattr(args, "norm_fold", "auto"),
         bn_axis_name=bn_axis_name,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )

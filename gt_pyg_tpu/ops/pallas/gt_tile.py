@@ -151,8 +151,18 @@ def _dot(a, b):
 def _soft_prec(md):
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions (HIGH is
     # rejected), so the softmax-chain f32 dots pay the 6-pass HIGHEST
-    # even in bf16 mode — they are [·,H]-narrow, so the cost is small.
-    del md
+    # even in bf16 mode. NOTE the lanes: these dots are [·,H]-"narrow"
+    # but H pads to 128 lanes, so each costs as much as a full
+    # [·,128]-wide matmul ×6 passes — a large share of the kernel's MXU
+    # issue load. GT_TPU_SOFT_PREC=default drops them to single-pass
+    # (bf16-rounded products) for A/B measurement; the round-2 "bf16
+    # softmax chain diverges" result predates the zero-grad wrong-code
+    # fix and needs re-measurement.
+    import os
+
+    if md == jnp.bfloat16 and os.environ.get(
+            "GT_TPU_SOFT_PREC", "highest").lower() == "default":
+        return jax.lax.Precision.DEFAULT
     return jax.lax.Precision.HIGHEST
 
 
