@@ -80,7 +80,8 @@ class GTConv(nn.Module):
             return True
         return self.dtype == jnp.bfloat16
 
-    def _merged_proj(self, x, in_features, specs, merged=False):
+    def _merged_proj(self, x, in_features, specs, merged=False,
+                     out_dtype=None):
         """Several Dense-equivalent projections of one input as a single
         matmul (XLA keeps separate [128,128] matmuls as separate HBM
         round-trips over x; merged they read x once and hit the MXU with
@@ -116,7 +117,7 @@ class GTConv(nn.Module):
         # accumulates f32 either way; XLA fuses the add+cast.
         y = (jax.lax.dot(x.astype(self.dtype), w.astype(self.dtype),
                          preferred_element_type=jnp.float32)
-             + bias).astype(self.dtype)
+             + bias).astype(out_dtype or self.dtype)
         if merged:
             return y
         outs, off = [], 0
@@ -221,11 +222,19 @@ class GTConv(nn.Module):
 
             qkvg = self._merged_proj(qkv_in, self.node_in_dim, qkv_specs,
                                      merged=True)
+            # e_all carries the WE_logits / e_gate columns in f32: the
+            # pre-softmax logit bias comes from the RAW residual edge
+            # stream, which training grows to O(1e4-1e5); bf16 storage
+            # (0.4% relative) adds +-40-700 ABSOLUTE noise to logits
+            # whose meaningful inter-edge differences are O(1-100),
+            # randomizing the attention ordering (measured as part of
+            # the round-3 bf16 accuracy gap).
             e_all = None
             if self.edge_in_dim is not None:
                 if fold:
                     e_all = self._merged_proj(edge_attr, self.edge_in_dim,
-                                              e_specs_fold, merged=True)
+                                              e_specs_fold, merged=True,
+                                              out_dtype=jnp.float32)
                 else:
                     edge_attr_norm = norm0e(edge_attr, edge_mask, use_ra)
                     (e_val,) = self._merged_proj(
@@ -235,9 +244,10 @@ class GTConv(nn.Module):
                     if self.gate:
                         raw_specs.append(("e_gate", H, True, None))
                     e_all = self._merged_proj(edge_attr, self.edge_in_dim,
-                                              raw_specs, merged=True)
+                                              raw_specs, merged=True,
+                                              out_dtype=jnp.float32)
                     e_all = jnp.concatenate(
-                        [e_val, e_all.astype(e_val.dtype)], axis=1)
+                        [e_val.astype(jnp.float32), e_all], axis=1)
             out, eij = gt_attention_tile_merged(
                 qkvg, edge_src, edge_dst, H, self.hidden_dim, tile_edges,
                 e_all=e_all, has_gate=self.gate, aggregators=aggs,
@@ -251,10 +261,13 @@ class GTConv(nn.Module):
 
             e_bias = e_val = e_gate_logits = None
             if self.edge_in_dim is not None:
+                # WE_logits / e_gate outputs stay f32 — see the e_all
+                # precision note on the tile path above
                 if fold:
                     eproj = self._merged_proj(edge_attr, self.edge_in_dim,
-                                              e_specs_fold)
-                    e_val, e_bias = eproj[0], eproj[1]
+                                              e_specs_fold,
+                                              out_dtype=jnp.float32)
+                    e_val, e_bias = eproj[0].astype(self.dtype), eproj[1]
                     e_gate_logits = eproj[2] if self.gate else None
                 else:
                     edge_attr_norm = norm0e(edge_attr, edge_mask, use_ra)
@@ -265,7 +278,8 @@ class GTConv(nn.Module):
                     if self.gate:
                         raw_specs.append(("e_gate", H, True, None))
                     rproj = self._merged_proj(edge_attr, self.edge_in_dim,
-                                              raw_specs)
+                                              raw_specs,
+                                              out_dtype=jnp.float32)
                     e_bias = rproj[0]
                     e_gate_logits = rproj[1] if self.gate else None
 

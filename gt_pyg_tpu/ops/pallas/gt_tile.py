@@ -238,15 +238,34 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
             refs["e_all"][en][:, hidden + heads:].astype(_F32))
         logits = logits * sig_eg
 
-    # per-tile softmax shift (shift-invariance; see module docstring).
-    # Padded edge rows (tile-local index outside [0, NT)) are forced to
-    # -inf so they exp to exactly 0; the floor guards an all-padding
-    # tile (max = -1e30 would make exp(l - max) = 1 on padding rows).
+    # Per-DESTINATION-NODE softmax shift. v3 used one shift per
+    # (tile, head) — shift-invariance makes that mathematically exact,
+    # but numerically exp(l - tile_max) underflows to 0 for every node
+    # whose own max logit sits > ~87 below the tile max, zeroing that
+    # node's whole attention row AND its softmax gradient. Harmless at
+    # init (logits are O(1)), catastrophic at trained weights: the
+    # pre-softmax logits include WE_logits(raw residual edge stream),
+    # which training grows to O(1e4-1e5); measured on the round-2
+    # production checkpoint, 35-47% of nodes in layers 1-3 underflowed,
+    # deviating the tile forward from the lax forward by up to 0.54
+    # LogD units and costing ~7% val RAE (RESULTS.md round 3).
+    #
+    # Per head: a masked [TE, NT] column max, then an EXACT one-hot
+    # select-sum gather back to edge rows (f32 VPU — matmul gathers
+    # would round the shift to bf16, and a 0.4% error on a 1e5-scale
+    # shift re-introduces exp overflow).
     valid = (dl >= 0) & (dl < NT)               # [TE, 1]
     logits = jnp.where(valid, logits, _NEG_INF)
-    shift = jnp.maximum(jnp.max(logits, axis=0, keepdims=True),
-                        0.5 * _NEG_INF)         # [1, H]
-    p = jnp.exp(logits - shift)                 # [TE, H]; padding -> 0
+    shift_cols = []
+    for hh in range(heads):
+        mcol = jnp.max(jnp.where(sd_b, logits[:, hh:hh + 1], _NEG_INF),
+                       axis=0, keepdims=True)   # [1, NT] node maxes
+        shift_cols.append(jnp.sum(jnp.where(sd_b, mcol, 0.0), axis=1,
+                                  keepdims=True))   # [TE, 1] gather
+    s_edge = jnp.concatenate(shift_cols, axis=1)    # [TE, H]
+    # valid rows have s_edge >= their logit (own edge participates in
+    # the node max) so p <= 1; padding rows gathered s=0 and logits=-inf
+    p = jnp.exp(logits - s_edge)                # [TE, H]; padding -> 0
 
     sd_f = sd_b.astype(_F32)
     sp = _soft_prec(md)

@@ -74,6 +74,45 @@ class TestTileKernelForward:
         else:
             assert eij_t is None
 
+    def test_matches_lax_at_trained_logit_scale(self, tiled_batch):
+        """Regression (round 3): trained models carry pre-softmax logits
+        of O(1e4-1e5) via WE_logits on the raw residual edge stream;
+        the v3 per-tile softmax shift underflowed every node whose max
+        logit sat > ~87 below the tile max (35-47% of nodes on the
+        round-2 production checkpoint), zeroing their attention rows.
+        The per-node shift must match the lax path at ANY logit scale."""
+        kw = _inputs(tiled_batch, gate=True, edge=True)
+        # spread e_bias over a trained-scale range: node maxes within a
+        # tile differ by thousands
+        rng = np.random.default_rng(7)
+        ep, heads = kw["e_bias"].shape
+        kw["e_bias"] = jnp.asarray(
+            rng.normal(size=(ep, heads)) * 3.0
+            + rng.uniform(-2e4, 2e4, size=(ep, 1)), jnp.float32)
+        out_l, eij_l = gt_attention(**kw, aggregators=("sum", "mean"),
+                                    impl="lax")
+        out_t, eij_t = gt_attention(**kw, aggregators=("sum", "mean"),
+                                    impl="tile", tile_edges=TE)
+        nmask = np.asarray(tiled_batch.node_mask) > 0
+        np.testing.assert_allclose(np.asarray(out_t)[nmask],
+                                   np.asarray(out_l)[nmask],
+                                   rtol=2e-4, atol=2e-4)
+        # gradients survive the scale too
+        nmask_j = jnp.asarray(tiled_batch.node_mask)
+
+        def loss(eb, impl):
+            full = dict(kw)
+            full["e_bias"] = eb
+            out, _ = gt_attention(**full, aggregators=("sum", "mean"),
+                                  impl=impl,
+                                  tile_edges=TE if impl == "tile" else None)
+            return jnp.sum((out * nmask_j[:, None]) ** 2)
+
+        g_l = jax.grad(lambda d: loss(d, "lax"))(kw["e_bias"])
+        g_t = jax.grad(lambda d: loss(d, "tile"))(kw["e_bias"])
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_l),
+                                   rtol=5e-4, atol=5e-4)
+
     def test_auto_impl_selects_tile(self, tiled_batch):
         kw = _inputs(tiled_batch)
         out_a, _ = gt_attention(**kw, aggregators=("sum",), impl="auto",
