@@ -172,6 +172,17 @@ def _dot_soft(a, b, md):
                        precision=_soft_prec(md))
 
 
+def _dot_logits(a, b):
+    """The pre-softmax logit head-reduce stays HIGHEST regardless of the
+    GT_TPU_SOFT_PREC toggle: its operands are O(10-100) QK products and
+    a single-pass bf16 truncation injects O(1) ABSOLUTE logit noise —
+    comparable to real inter-edge logit differences. The toggleable
+    sites only touch p in (0,1] (denominators/broadcasts) or gradient
+    values, where the rounding is benign relative noise."""
+    return jax.lax.dot(a, b, preferred_element_type=_F32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
 def _dot_t(a, b, prec):
     """Contract over the (leading) edge axis: a [E, N], b [E, F] ->
     [N, F]. The TPU-native scatter: an MXU matmul with lhs-transposed
@@ -214,7 +225,7 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
 
     prod = q_e * k_e * scale
     S_m_raw = refs["s_head"][:]
-    logits = _dot_soft(prod, S_m_raw, md)       # [TE, H] f32
+    logits = _dot_logits(prod, S_m_raw)         # [TE, H] f32
 
     e_val = None
     if has_edge:
