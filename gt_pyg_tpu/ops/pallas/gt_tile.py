@@ -148,28 +148,67 @@ def _dot(a, b):
                        precision=_prec(a, b))
 
 
-def _soft_prec(md):
-    # Mosaic lowers only DEFAULT and HIGHEST dot precisions (HIGH is
-    # rejected), so the softmax-chain f32 dots pay the 6-pass HIGHEST
-    # even in bf16 mode. NOTE the lanes: these dots are [·,H]-"narrow"
-    # but H pads to 128 lanes, so each costs as much as a full
-    # [·,128]-wide matmul ×6 passes — a large share of the kernel's MXU
-    # issue load. GT_TPU_SOFT_PREC=default drops them to single-pass
-    # (bf16-rounded products) for A/B measurement; the round-2 "bf16
-    # softmax chain diverges" result predates the zero-grad wrong-code
-    # fix and needs re-measurement.
+def _soft_mode(md):
+    # Softmax-chain f32 dot strategy. Mosaic lowers only DEFAULT and
+    # HIGHEST (HIGH is rejected), and HIGHEST is 6 MXU passes. NOTE the
+    # lanes: these dots are [·,H]-"narrow" but H pads to 128 lanes, so
+    # each costs as much as a full [·,128]-wide matmul ×passes — a large
+    # share of the kernel's MXU issue load. Modes (GT_TPU_SOFT_PREC, in
+    # bf16 compute only; f32 compute is always bit-faithful HIGHEST):
+    #   highest (default) — 6-pass, f32-exact products;
+    #   split2            — the VALUE operand splits into bf16 hi+lo
+    #                       single-pass dots (other operand is one-hot /
+    #                       bf16-exact): ~2^-16 relative product error
+    #                       at 1/3 the passes;
+    #   default           — single-pass bf16 (0.4% relative rounding on
+    #                       p/alpha — measurement mode).
     import os
 
-    if md == jnp.bfloat16 and os.environ.get(
-            "GT_TPU_SOFT_PREC", "highest").lower() == "default":
-        return jax.lax.Precision.DEFAULT
-    return jax.lax.Precision.HIGHEST
+    if md == jnp.bfloat16:
+        m = os.environ.get("GT_TPU_SOFT_PREC", "highest").lower()
+        if m in ("default", "split2"):
+            return m
+    return "highest"
 
 
-def _dot_soft(a, b, md):
-    """f32 dot on the softmax chain (see precision note above)."""
-    return jax.lax.dot(a, b, preferred_element_type=_F32,
-                       precision=_soft_prec(md))
+def _split2(vals, other):
+    hi = vals.astype(jnp.bfloat16)
+    lo = (vals - hi.astype(_F32)).astype(jnp.bfloat16)
+    return hi, lo, other.astype(jnp.bfloat16)
+
+
+def _dot_soft(a, b, md, values="lhs"):
+    """f32 dot on the softmax chain; ``values`` names the operand that
+    carries real values (the other is a one-hot indicator / bf16-exact
+    head matrix). See :func:`_soft_mode`."""
+    mode = _soft_mode(md)
+    if mode == "highest":
+        return jax.lax.dot(a, b, preferred_element_type=_F32,
+                           precision=jax.lax.Precision.HIGHEST)
+    if mode == "default":
+        return jax.lax.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           preferred_element_type=_F32)
+    if values == "lhs":
+        hi, lo, bb = _split2(a, b)
+        return (jax.lax.dot(hi, bb, preferred_element_type=_F32)
+                + jax.lax.dot(lo, bb, preferred_element_type=_F32))
+    hi, lo, aa = _split2(b, a)
+    return (jax.lax.dot(aa, hi, preferred_element_type=_F32)
+            + jax.lax.dot(aa, lo, preferred_element_type=_F32))
+
+
+def _dot_t_soft(a, b, md):
+    """Edge-axis contraction (scatter) on the softmax chain: ``a`` is
+    the one-hot destination indicator, ``b`` carries the values."""
+    mode = _soft_mode(md)
+    if mode == "highest":
+        return _dot_t(a, b, jax.lax.Precision.HIGHEST)
+    if mode == "default":
+        return _dot_t(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                      jax.lax.Precision.DEFAULT)
+    hi, lo, aa = _split2(b, a)
+    return (_dot_t(aa, hi, jax.lax.Precision.DEFAULT)
+            + _dot_t(aa, lo, jax.lax.Precision.DEFAULT))
 
 
 def _dot_logits(a, b):
@@ -279,16 +318,15 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
     p = jnp.exp(logits - s_edge)                # [TE, H]; padding -> 0
 
     sd_f = sd_b.astype(_F32)
-    sp = _soft_prec(md)
     if "mean" in aggs:
         # node degree rides the denominator contraction as an extra
         # lane column (both outputs are lane-padded to 128 anyway)
         aug = jnp.concatenate([p, jnp.ones((te, 1), _F32)], axis=1)
-        den_deg = _dot_t(sd_f, aug, sp)         # [NT, H+1]
+        den_deg = _dot_t_soft(sd_f, aug, md)    # [NT, H+1]
         denom, deg = den_deg[:, :heads], jnp.maximum(
             den_deg[:, heads:], 1.0)
     else:
-        denom, deg = _dot_t(sd_f, p, sp), None  # [NT, H]
+        denom, deg = _dot_t_soft(sd_f, p, md), None  # [NT, H]
 
     keep = None
     if drop_rate > 0.0:
@@ -320,7 +358,7 @@ def _fwd_body(cfg, refs):
         nn_ = pl.ds(g * NT, NT)                 # node-row window
         base = (pl.program_id(0) * g_tiles + g) * NT
         t = _recompute_tile(cfg, refs, en, nn_, base, iota)
-        md, sp = t["md"], _soft_prec(t["md"])
+        md = t["md"]
 
         if has_edge:
             refs["eij"][en] = (t["prod"] * t["e_val"]).astype(
@@ -355,12 +393,13 @@ def _bwd_body(cfg, refs):
         nn_ = pl.ds(g * NT, NT)
         base = (pl.program_id(0) * g_tiles + g) * NT
         t = _recompute_tile(cfg, refs, en, nn_, base, iota)
-        md, sp = t["md"], _soft_prec(t["md"])
+        md = t["md"]
         S_m = t["S_m_raw"].astype(md)
         sd_f = t["sd_f"]
 
         # the backward needs per-edge alpha explicitly (softmax VJP)
-        den_e = _dot_soft(sd_f, t["denom"], md) + _SOFTMAX_EPS  # [TE, H]
+        den_e = _dot_soft(sd_f, t["denom"], md,
+                          values="rhs") + _SOFTMAX_EPS      # [TE, H]
         alpha_raw = t["p"] / den_e
         alpha = alpha_raw if t["keep"] is None else alpha_raw * t["keep"]
         alpha_full = _dot(alpha.astype(md), S_m.T)          # [TE, hidden]
@@ -387,8 +426,9 @@ def _bwd_body(cfg, refs):
         # edge makes g and the segment sum nearly equal), so the sum and
         # its gather-back stay f32 (HIGH — see precision note).
         t_e = alpha_raw * g_alpha_raw
-        t_n = _dot_t(sd_f, t_e, sp)                         # [NT, H]
-        g_logits = alpha_raw * (g_alpha_raw - _dot_soft(sd_f, t_n, md))
+        t_n = _dot_t_soft(sd_f, t_e, md)                    # [NT, H]
+        g_logits = alpha_raw * (g_alpha_raw
+                                - _dot_soft(sd_f, t_n, md, values="rhs"))
 
         if has_gate and has_edge:
             g_logits_pre = g_logits * t["sig_eg"]
