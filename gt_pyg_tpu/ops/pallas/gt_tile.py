@@ -306,27 +306,40 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
     # shift re-introduces exp overflow).
     valid = (dl >= 0) & (dl < NT)               # [TE, 1]
     logits = jnp.where(valid, logits, _NEG_INF)
-    shift_cols = []
-    for hh in range(heads):
-        mcol = jnp.max(jnp.where(sd_b, logits[:, hh:hh + 1], _NEG_INF),
-                       axis=0, keepdims=True)   # [1, NT] node maxes
-        shift_cols.append(jnp.sum(jnp.where(sd_b, mcol, 0.0), axis=1,
-                                  keepdims=True))   # [TE, 1] gather
-    s_edge = jnp.concatenate(shift_cols, axis=1)    # [TE, H]
-    # valid rows have s_edge >= their logit (own edge participates in
-    # the node max) so p <= 1; padding rows gathered s=0 and logits=-inf
-    p = jnp.exp(logits - s_edge)                # [TE, H]; padding -> 0
-
     sd_f = sd_b.astype(_F32)
-    if "mean" in aggs:
+    if "p_saved" in refs:
+        # backward pass: the forward saved the softmax numerators p and
+        # the denominator/degree sums as residuals — the masked-max
+        # loop, the exp, and the denominator scatter all disappear, AND
+        # alpha = p/den comes entirely from one consistent forward
+        # evaluation. (Recomputing p against a LOADED denominator broke
+        # the exact softmax-VJP cancellation: the recomputed logits
+        # differ from the forward's by ULPs — 1e-3 absolute at 1e4
+        # logit scale — so alpha for a single-edge node came out
+        # 1±1e-3 instead of exactly 1, leaking ~0.1% of the incoming
+        # cotangent into every e_bias gradient.)
+        p = refs["p_saved"][en].astype(_F32)
+        den_deg = refs["den_deg"][nn_].astype(_F32)
+    else:
+        shift_cols = []
+        for hh in range(heads):
+            mcol = jnp.max(
+                jnp.where(sd_b, logits[:, hh:hh + 1], _NEG_INF),
+                axis=0, keepdims=True)          # [1, NT] node maxes
+            shift_cols.append(jnp.sum(jnp.where(sd_b, mcol, 0.0), axis=1,
+                                      keepdims=True))   # [TE, 1] gather
+        s_edge = jnp.concatenate(shift_cols, axis=1)    # [TE, H]
+        # valid rows have s_edge >= their logit (own edge participates
+        # in the node max) so p <= 1; padding rows gathered s=0 and
+        # logits=-inf
+        p = jnp.exp(logits - s_edge)            # [TE, H]; padding -> 0
         # node degree rides the denominator contraction as an extra
         # lane column (both outputs are lane-padded to 128 anyway)
         aug = jnp.concatenate([p, jnp.ones((te, 1), _F32)], axis=1)
         den_deg = _dot_t_soft(sd_f, aug, md)    # [NT, H+1]
-        denom, deg = den_deg[:, :heads], jnp.maximum(
-            den_deg[:, heads:], 1.0)
-    else:
-        denom, deg = _dot_t_soft(sd_f, p, md), None  # [NT, H]
+    denom = den_deg[:, :heads]
+    deg = (jnp.maximum(den_deg[:, heads:heads + 1], 1.0)
+           if "mean" in aggs else None)
 
     keep = None
     if drop_rate > 0.0:
@@ -345,7 +358,7 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
                 logits_pre=logits_pre, e_val=e_val, v_base=v_base,
                 v_msg=v_msg, sig_g=sig_g, sig_eg=sig_eg, p=p,
                 denom=denom, deg=deg, keep=keep, S_m_raw=S_m_raw,
-                scale=scale)
+                scale=scale, den_deg=den_deg)
 
 
 def _fwd_body(cfg, refs):
@@ -363,6 +376,9 @@ def _fwd_body(cfg, refs):
         if has_edge:
             refs["eij"][en] = (t["prod"] * t["e_val"]).astype(
                 refs["eij"].dtype)
+        if "p_out" in refs:
+            refs["p_out"][en] = t["p"]
+            refs["den_deg_out"][nn_] = t["den_deg"]
 
         p_keep = t["p"] if t["keep"] is None else t["p"] * t["keep"]
         # numerator: scatter p·m, divide by the denominator node-side
@@ -531,18 +547,12 @@ def _pick_tiles_per_step(n_tiles: int, want: int) -> int:
     return g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _tile_core(cfg, qkvg, e_all, bits, src, dst):
-    """Fused forward. Returns (out [Np, hidden*A] aggregator-major
-    [a][h][d] layout, eij [Ep, hidden] or a 0-element placeholder).
-    Inactive optional args are 1-element dummies (cfg flags gate which
-    reach the kernel).
-
-    ``cfg`` is a 9-tuple (heads, dh, te, aggs, has_gate, has_edge,
-    drop_rate, g_fwd, g_bwd); the fwd/bwd kernels run with their own
-    tiles-per-step (the bwd working set is ~2x the fwd's, so it uses a
-    smaller G to stay inside scoped VMEM)."""
-    cfg = cfg[:7] + (cfg[7],)          # 8-tuple view with G = g_fwd
+def _run_fwd(cfg, qkvg, e_all, bits, src, dst, save_soft):
+    """Forward pallas_call. With ``save_soft`` the kernel additionally
+    emits the per-edge softmax shift and per-node denominator/degree
+    sums so the backward can skip recomputing them (the masked-max loop
+    and the denominator scatter are the expensive parts of the softmax
+    chain; the extra HBM traffic is ~4 MB/layer)."""
     heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
     hidden = heads * dh
     npad, ep = qkvg.shape[0], src.shape[0]
@@ -558,6 +568,13 @@ def _tile_core(cfg, qkvg, e_all, bits, src, dst):
         out_shapes.append(jax.ShapeDtypeStruct((ep, hidden), qkvg.dtype))
         out_specs.append(_edge_block(cfg, hidden))
         out_names.append("eij")
+    if save_soft:
+        out_shapes.append(jax.ShapeDtypeStruct((ep, heads), _F32))
+        out_specs.append(_edge_block(cfg, heads))
+        out_names.append("p_out")
+        out_shapes.append(jax.ShapeDtypeStruct((npad, heads + 1), _F32))
+        out_specs.append(_node_block(cfg, heads + 1))
+        out_names.append("den_deg_out")
 
     def body(*refs):
         _fwd_body(cfg, dict(zip(names + out_names, refs)))
@@ -578,25 +595,48 @@ def _tile_core(cfg, qkvg, e_all, bits, src, dst):
     )(*arrays)
     out = res[0]
     eij = res[1] if has_edge else jnp.zeros((0,), qkvg.dtype)
+    extras = res[-2:] if save_soft else (None, None)
+    return out, eij, extras
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tile_core(cfg, qkvg, e_all, bits, src, dst):
+    """Fused forward. Returns (out [Np, hidden*A] aggregator-major
+    [a][h][d] layout, eij [Ep, hidden] or a 0-element placeholder).
+    Inactive optional args are 1-element dummies (cfg flags gate which
+    reach the kernel).
+
+    ``cfg`` is a 9-tuple (heads, dh, te, aggs, has_gate, has_edge,
+    drop_rate, g_fwd, g_bwd); the fwd/bwd kernels run with their own
+    tiles-per-step (the bwd working set is ~2x the fwd's, so it uses a
+    smaller G to stay inside scoped VMEM)."""
+    cfg8 = cfg[:7] + (cfg[7],)         # 8-tuple view with G = g_fwd
+    out, eij, _ = _run_fwd(cfg8, qkvg, e_all, bits, src, dst,
+                           save_soft=False)
     return out, eij
 
 
 def _tile_core_fwd(cfg, qkvg, e_all, bits, src, dst):
-    out = _tile_core(cfg, qkvg, e_all, bits, src, dst)
-    return out, (qkvg, e_all, bits, src, dst)
+    cfg8 = cfg[:7] + (cfg[7],)
+    out, eij, (p_saved, den_deg) = _run_fwd(cfg8, qkvg, e_all, bits, src,
+                                            dst, save_soft=True)
+    return (out, eij), (qkvg, e_all, bits, src, dst, p_saved, den_deg)
 
 
 def _tile_core_bwd(cfg, residuals, cotangents):
     cfg = cfg[:7] + (cfg[8],)          # 8-tuple view with G = g_bwd
     heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
     hidden = heads * dh
-    qkvg, e_all, bits, src, dst = residuals
+    qkvg, e_all, bits, src, dst, p_saved, den_deg = residuals
     g_out, g_eij = cotangents
     npad, ep = qkvg.shape[0], src.shape[0]
     n_tiles = npad // NT
 
     names, arrays, in_specs = _collect_inputs(cfg, qkvg, e_all, bits,
                                               src, dst)
+    names += ["p_saved", "den_deg"]
+    arrays += [p_saved, den_deg]
+    in_specs += [_edge_block(cfg, heads), _node_block(cfg, heads + 1)]
     names.append("g_out")
     arrays.append(g_out.astype(qkvg.dtype))
     in_specs.append(_node_block(cfg, hidden * len(aggs)))
