@@ -1,4 +1,4 @@
-"""Fused per-tile Pallas kernel for GTConv message passing (v3).
+"""Fused per-tile Pallas kernel for GTConv message passing (v4).
 
 Replaces the whole gather → SDDMM → segment-softmax → SpMM pipeline of
 :func:`gt_pyg_tpu.ops.attention.gt_attention` (the role of PyG's
@@ -41,14 +41,22 @@ of the v2 flagship step):
   matmul (and their gradients scatter as one contraction). Fewer,
   wider MXU issues — the v2 kernel was issue-bound, not FLOP-bound.
 
-* **Per-tile softmax shift.** Softmax is shift-invariant, so the
-  numerical-stability shift needs no per-(node,head) max: ONE masked
-  max over the tile's edge rows replaces v2's per-head masked-max loop
-  (8 × [TE,NT] VPU reductions) and the max gather-back matmul, in both
-  passes. Numerics note: a node whose every logit sits > ~80 below the
-  tile max now underflows to a zero attention row (the reference
-  per-segment shift would still softmax it); unreachable in practice —
-  logits are head-summed QK products of normalized activations.
+* **Per-destination-node softmax shift (v4).** v3 shipped ONE shift
+  per (tile, head); mathematically exact by shift-invariance, but
+  trained models carry pre-softmax logits of O(1e4-1e5) (WE_logits
+  reads the raw residual edge stream) and exp(l - tile_max) underflowed
+  every node whose own max sat > ~87 below the tile max — 35-47% of
+  nodes on the round-2 production checkpoint, zero attention rows AND
+  zero softmax gradients (RESULTS.md round 3). v4 computes an exact
+  per-node shift: per head, a masked [TE,NT] column max + an exact
+  one-hot select-sum gather back to edge rows (f32 VPU).
+
+* **Softmax residuals saved for the backward (v4).** The forward emits
+  p [Ep,H] and den/deg [Np,H+1] f32 as custom-VJP residuals, so the
+  backward skips the masked-max loop, the exp, and the denominator
+  scatter — and alpha = p/den comes from one consistent forward
+  evaluation (recomputing p against a loaded denominator leaks ~0.1%
+  of the cotangent through the broken softmax-VJP cancellation).
 
 * **Division after the scatter.** ``Σ α·m = (Σ p·m)/denom`` per
   destination node, so the forward divides by the per-node denominator
