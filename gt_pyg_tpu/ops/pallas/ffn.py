@@ -372,6 +372,10 @@ def fused_ffn(
     keep probability quantized to 1/256 exactly like
     :class:`gt_pyg_tpu.nn.dropout.Dropout`.
     """
+    import os
+
+    rows_per_block = int(os.environ.get("GT_TPU_FFN_RB", rows_per_block))
+    blocks_per_step = int(os.environ.get("GT_TPU_FFN_G", blocks_per_step))
     R, din = xn.shape
     h = w0.shape[1]
     dout = w2.shape[1]
