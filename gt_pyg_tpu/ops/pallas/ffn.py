@@ -70,9 +70,24 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
 
 
+def _gelu_tanh(x):
+    """tanh-approximate GELU. Mosaic lowers tanh natively, while the
+    exact erf polynomial costs exp + divide + ~10 mults per element —
+    measured ~0.8 ms/layer of the flagship step across the fwd+bwd FFN
+    kernels (tools/ffn_ab.py: gelu 2.145 vs relu 1.356 ms at the node
+    shape). |tanh-gelu - exact| <= ~1e-3 absolute — far below bf16's
+    ~0.4% resolution — so the bf16 compute path uses this; f32 stays
+    exact for golden parity."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
 def _resolve_act(act: str):
-    if (act or "").lower() == "gelu":
+    low = (act or "").lower()
+    if low == "gelu":
         return _gelu_exact
+    if low == "gelu_tanh":
+        return _gelu_tanh
     from ...nn.act import resolve_activation
 
     return resolve_activation(act)
@@ -386,6 +401,9 @@ def fused_ffn(
             f"{din} != {dout}")
     training = dropout_rate > 0.0 and dropout_rng is not None
     thresh = max(1, min(255, int(round((1.0 - dropout_rate) * 256.0))))
+    if (act or "").lower() == "gelu" and xn.dtype == jnp.bfloat16 \
+            and os.environ.get("GT_TPU_GELU", "tanh").lower() == "tanh":
+        act = "gelu_tanh"   # see _gelu_tanh: bf16-exactness-free speedup
 
     rb = rows_per_block
     while rb >= 16 and R % rb:
