@@ -42,6 +42,7 @@ continuity.
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -298,6 +299,12 @@ def measure(args, batch_graphs):
         "mfu_vs_v5e_bf16_peak": round(
             flops_step / dt / V5E_BF16_PEAK_FLOPS, 4),
         "norm_fold": args.norm_fold,
+        # kernel-mode env knobs that change numerics/step time: resolve
+        # them here so the artifact is unambiguous about what produced it
+        "soft_prec": os.environ.get("GT_TPU_SOFT_PREC", "split2"),
+        "gelu_mode": os.environ.get("GT_TPU_GELU", "(default)"),
+        "ffn_blocks": {"rb": os.environ.get("GT_TPU_FFN_RB", "(auto)"),
+                       "g": os.environ.get("GT_TPU_FFN_G", "(auto)")},
         "compile_s": round(t_compile, 1),
         "loss_first": loss_first,
         "loss_last": float(traj[-1]),

@@ -55,9 +55,10 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
     """All members in ONE vmapped training run (member axis on the MXU
     batch dim) — ~M× faster wall-clock than the sequential loop on a
     single chip. Member INIT seeds and checkpoint filenames match the
-    sequential path (so ``--eval-only`` ensembles either output), but the
-    shuffle/minibatch stream is shared across vmapped members — members
-    are not step-for-step reproductions of seed-matched sequential runs."""
+    sequential path (so ``--eval-only`` ensembles either output). By
+    default every member draws its own minibatch shuffle stream
+    (decorrelated, like the reference's independent runs); with
+    ``--no-decorrelate`` members share one stream (round-3 behavior)."""
     import jax
 
     from gt_pyg_tpu.checkpoint import (get_checkpoint_info,
@@ -79,6 +80,12 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
             print(f"model {mi}: unreadable checkpoint ({exc}); retraining")
             return True
         saved_at = extra.get("saved_at_epoch")
+        if saved_at is None and extra.get("vmap_ensemble"):
+            # vmap-path checkpoints are always stamped; a stamp-less one
+            # was written by pre-stamp code and may be a mid-run partial
+            print(f"model {mi}: vmap checkpoint lacks the saved_at_epoch "
+                  "stamp (pre-stamp save, possibly partial); retraining")
+            return True
         if saved_at is not None and int(saved_at) < args.epochs:
             print(f"model {mi}: checkpoint is a partial save from epoch "
                   f"{saved_at} < {args.epochs}; retraining")
@@ -101,7 +108,8 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
                       tile_edges=(args.tile_edges
                                   if args.attn_impl == "tile" else None))
     ens = VmapEnsembleTrainer(model, cfg, num_members=len(todo),
-                              member_seeds=[1000 + mi for mi in todo])
+                              member_seeds=[1000 + mi for mi in todo],
+                              decorrelate=not args.no_decorrelate)
     sample = next(iter_batches(tr_ds, cfg.batch_train,
                                node_multiple=cfg.node_multiple,
                                edge_multiple=cfg.edge_multiple,
@@ -235,6 +243,10 @@ def main(argv=None):
                         "the minibatch stream is shared across members")
     p.add_argument("--eval-every", type=int, default=1,
                    help="(vmap mode) validate/model-select every k epochs")
+    p.add_argument("--no-decorrelate", action="store_true",
+                   help="(vmap mode) share ONE minibatch stream across "
+                        "members instead of per-member independent "
+                        "shuffles (the pre-round-4 behavior)")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--test-csv", default=None,
                    help="held-out test CSV (raw assay columns OK) for "

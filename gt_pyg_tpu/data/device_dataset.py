@@ -211,6 +211,57 @@ class DeviceDataset:
             num_edges=np.int32(int(self.edge_cnt[ids].sum())),
             num_graphs=np.int32(B), tile_edges=tile_edges)
 
+    def repad(self, ib: IndexBatch, node_pad: int,
+              edge_pad: int) -> IndexBatch:
+        """Extend a recipe to larger node/edge pads (same graph_pad).
+
+        Used to unify per-member recipes onto one shape before stacking
+        them for a vmapped ensemble step. The extension rows are pure
+        padding (gather index == n_tot/e_tot ⇒ zero feature row, mask 0);
+        offset sentinels that pointed at the old pad are remapped to the
+        new pad. For the tiled layout both pads grow by whole tiles
+        (node_pad = n_tiles·128, edge_pad = n_tiles·tile_edges), so the
+        materializer's per-tile trash rows stay consistent."""
+        old_np = ib.node_gather.shape[0]
+        old_ep = ib.edge_gather.shape[0]
+        if node_pad == old_np and edge_pad == old_ep:
+            return ib
+        if node_pad < old_np or edge_pad < old_ep:
+            raise ValueError("repad only extends")
+        if ib.tile_edges is not None:
+            if (node_pad % TILE_NODES or edge_pad % ib.tile_edges
+                    or node_pad // TILE_NODES != edge_pad // ib.tile_edges):
+                raise ValueError("tiled repad must grow by whole tiles")
+        ng = np.concatenate([ib.node_gather,
+                             np.full(node_pad - old_np, self.n_tot,
+                                     np.int32)])
+        eg = np.concatenate([ib.edge_gather,
+                             np.full(edge_pad - old_ep, self.e_tot,
+                                     np.int32)])
+        no = np.where(ib.node_offset == old_np, node_pad,
+                      ib.node_offset).astype(np.int32)
+        eo = np.where(ib.edge_offset == old_ep, edge_pad,
+                      ib.edge_offset).astype(np.int32)
+        return IndexBatch(node_gather=ng, edge_gather=eg,
+                          graph_ids=ib.graph_ids, node_offset=no,
+                          edge_offset=eo, num_nodes=ib.num_nodes,
+                          num_edges=ib.num_edges,
+                          num_graphs=ib.num_graphs,
+                          tile_edges=ib.tile_edges)
+
+    def unify_and_stack(self, ibs: Sequence[IndexBatch]) -> IndexBatch:
+        """Stack M same-step recipes into one [M, ...] recipe, repadding
+        to the max node/edge pad first (vmapped members need one shape)."""
+        npad = max(b.node_gather.shape[0] for b in ibs)
+        epad = max(b.edge_gather.shape[0] for b in ibs)
+        ibs = [self.repad(b, npad, epad) for b in ibs]
+        te = ibs[0].tile_edges
+        if any(b.tile_edges != te for b in ibs):
+            raise ValueError("mixed tile_edges across members")
+        arrs = [np.stack([getattr(b, f) for b in ibs])
+                for f in IndexBatch._ARRAY_FIELDS]
+        return IndexBatch(*arrs, tile_edges=te)
+
     def iter_index_batches(self, batch_size: int, shuffle: bool = False,
                            rng: Optional[np.random.Generator] = None,
                            node_multiple: int = 1024,

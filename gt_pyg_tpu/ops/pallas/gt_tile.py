@@ -137,10 +137,12 @@ def _should_interpret() -> bool:
 # perturbs every alpha and a bf16 softmax-VJP sum loses the
 # peaked-attention cancellation; both measured as bf16 TRAINING
 # divergence at lr=1e-3 (loss climbs, NaN by ~step 40) with the lax
-# path healthy on the identical stream. In bf16 mode they run HIGH
-# (3-pass bf16 ≈ f32-grade product accuracy) instead of v2's HIGHEST
-# (6-pass) — the operands are already f32 accumulations of bf16
-# matmuls, so the last ~5 bits HIGHEST preserves carry no information.
+# path healthy on the identical stream. In bf16 mode the strategy is
+# tiered via GT_TPU_SOFT_PREC (see _soft_mode; Mosaic lowers only
+# DEFAULT and HIGHEST — HIGH is rejected): 'split2' (production
+# default) splits the value operand into bf16 hi+lo single-pass dots,
+# 'highest' runs the 6-pass f32-exact dots, 'default' is single-pass
+# bf16 (measurement only). f32 compute always pins HIGHEST.
 def _mm_dtype(dtype):
     return dtype if dtype == jnp.bfloat16 else _F32
 
@@ -663,7 +665,10 @@ def _tile_core_bwd(cfg, residuals, cotangents):
     out_names = ["dqkvg"]
     if has_edge:
         w = hidden + heads * (1 + has_gate)
-        out_shapes.append(jax.ShapeDtypeStruct((ep, w), qkvg.dtype))
+        # emit in e_all.dtype (f32 in bf16 mode): the edge stream's
+        # logit-bias columns are deliberately f32 — routing their
+        # cotangents through a bf16 output would round-trip them
+        out_shapes.append(jax.ShapeDtypeStruct((ep, w), e_all.dtype))
         out_specs.append(_edge_block(cfg, w))
         out_names.append("de_all")
 
@@ -684,8 +689,7 @@ def _tile_core_bwd(cfg, residuals, cotangents):
     )(*arrays)
 
     dqkvg = res[0]
-    de_all = (res[1].astype(e_all.dtype) if has_edge
-              else jnp.zeros_like(e_all))
+    de_all = res[1] if has_edge else jnp.zeros_like(e_all)
     return (dqkvg, de_all, jnp.zeros_like(bits), jnp.zeros_like(src),
             jnp.zeros_like(dst))
 

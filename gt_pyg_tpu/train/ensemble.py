@@ -10,11 +10,20 @@ MXU idle, and nine sequential runs pay the idle nine times.
 batch_stats / optimizer) along a leading member axis and ``jax.vmap``s
 the SAME per-member train step the single-model :class:`Trainer` uses —
 the member axis rides the MXU batch dimension, so all nine members train
-in one process at a small multiple of one member's step time. Members
-share the minibatch stream (one device-resident gather per step feeds
-all M); diversity comes from per-member init seeds and independent
-dropout / reparameterization / loss-sampling PRNG streams, matching the
-reference's seed-only member diversity.
+in one process at a small multiple of one member's step time.
+
+Member diversity (``decorrelate=True``, the default): each member draws
+its OWN epoch shuffle stream — at every step the M members consume M
+independently-chosen minibatches, materialized per member inside the
+vmap. This reproduces the reference ensemble's construction (nine
+independent runs, each shuffling independently —
+``compare_predictions.ipynb`` "beardy-polonium") at vmapped cost: the
+per-member recipes are repadded to one shape and stacked host-side
+(``DeviceDataset.unify_and_stack``), so the device still sees one
+fixed-shape program. With ``decorrelate=False`` members share one
+minibatch stream (round-2/3 behavior) and diversity comes only from
+per-member init seeds and independent dropout / reparameterization /
+loss-sampling PRNG streams.
 
 Best-state tracking is per member and device-resident: a ``[M]`` bool
 improvement mask (host-computed from per-member validation RAE) selects
@@ -55,13 +64,15 @@ class VmapEnsembleTrainer:
     """
 
     def __init__(self, model, config: TrainConfig, num_members: int,
-                 member_seeds: Optional[Sequence[int]] = None):
+                 member_seeds: Optional[Sequence[int]] = None,
+                 decorrelate: bool = True):
         if num_members < 1:
             raise ValueError(f"num_members must be >= 1, got {num_members}")
         self.inner = Trainer(model, config)
         self.model = model
         self.cfg = config
         self.m = int(num_members)
+        self.decorrelate = bool(decorrelate)
         seeds = (list(member_seeds) if member_seeds is not None
                  else [config.seed + i for i in range(num_members)])
         if len(seeds) != num_members:
@@ -89,19 +100,31 @@ class VmapEnsembleTrainer:
 
     # ---- jitted vmapped steps (per dataset meta, like Trainer) ----
     def _get_fns(self, dd: DeviceDataset):
-        meta = dd.static_meta()
+        meta = (dd.static_meta(), self.decorrelate)
         if meta not in self._fns:
-            def train_fn(states, tree, ib, lr, task_scale, rngs):
-                batch = materialize_batch(tree, ib, meta)
+            if self.decorrelate:
+                # ib carries a leading [M] member axis: each member
+                # materializes ITS OWN minibatch inside the vmap (the M
+                # feature gathers ride the same fused program)
+                def train_fn(states, tree, ib, lr, task_scale, rngs):
+                    def one(state, one_ib, rng):
+                        batch = materialize_batch(tree, one_ib, meta[0])
+                        return self.inner._train_step_impl(
+                            state, batch, lr, task_scale, rng)
 
-                def one(state, rng):
-                    return self.inner._train_step_impl(
-                        state, batch, lr, task_scale, rng)
+                    return jax.vmap(one)(states, ib, rngs)
+            else:
+                def train_fn(states, tree, ib, lr, task_scale, rngs):
+                    batch = materialize_batch(tree, ib, meta[0])
 
-                return jax.vmap(one)(states, rngs)
+                    def one(state, rng):
+                        return self.inner._train_step_impl(
+                            state, batch, lr, task_scale, rng)
+
+                    return jax.vmap(one)(states, rngs)
 
             def eval_fn(params, bstats, tree, ib, task_scale):
-                batch = materialize_batch(tree, ib, meta)
+                batch = materialize_batch(tree, ib, meta[0])
 
                 def one(p, b):
                     return self.inner._eval_step_impl(p, b, batch,
@@ -118,17 +141,30 @@ class VmapEnsembleTrainer:
                     epoch: int, rng):
         c = self.cfg
         lr = jnp.asarray(self.inner.lr_fn(epoch - 1), jnp.float32)
-        np_rng = np.random.default_rng(c.seed + epoch)
         train_fn, _ = self._get_fns(dd)
         tree = dd.device_tree()
+
+        def _iter(rng_seed):
+            return dd.iter_index_batches(
+                c.batch_train, shuffle=True,
+                rng=np.random.default_rng(rng_seed),
+                node_multiple=c.node_multiple,
+                edge_multiple=c.edge_multiple,
+                tile_edges=c.tile_edges,
+                tiles_multiple=c.tiles_multiple,
+                tile_pack=c.tile_pack)
+
+        if self.decorrelate:
+            # one independent shuffle stream per member, like the
+            # reference's M independent training runs
+            iters = zip(*[_iter(1_000_003 * (s + 1) + epoch)
+                          for s in self.seeds])
+            batches = (dd.unify_and_stack(step_ibs)
+                       for step_ibs in iters)
+        else:
+            batches = _iter(c.seed + epoch)
         losses = []
-        for ib in dd.iter_index_batches(c.batch_train, shuffle=True,
-                                        rng=np_rng,
-                                        node_multiple=c.node_multiple,
-                                        edge_multiple=c.edge_multiple,
-                                        tile_edges=c.tile_edges,
-                                        tiles_multiple=c.tiles_multiple,
-                                        tile_pack=c.tile_pack):
+        for ib in batches:
             ib = jax.tree_util.tree_map(jnp.asarray, ib)
             rng, sk = jax.random.split(rng)
             rngs = jax.random.split(sk, self.m)          # [M] keys

@@ -147,11 +147,11 @@ class Trainer:
                 weight_decay=config.weight_decay,
             ),
         )
-        self.frozen_mask = frozen_mask  # pytree of bools: True == frozen
+        self._frozen_mask = frozen_mask  # pytree of bools: True == frozen
         # frozen components keep their BatchNorm running stats (the
         # functional analog of the reference's BN-eval-on-freeze,
         # model.py:374-385)
-        self.frozen_bstats_mask = frozen_bstats_mask
+        self._frozen_bstats_mask = frozen_bstats_mask
         # no buffer donation: donating the state makes Trainer.fit consume
         # its input (a footgun for callers that reuse/init once); the
         # params are small relative to activations, so the copy is cheap
@@ -232,6 +232,36 @@ class Trainer:
             tau_temp=c.tau_temp, rank_pairs=c.rank_pairs,
             task_scale=task_scale, rng=rng,
         )
+
+    # ---- freeze masks ----
+    # Both masks are read at TRACE time of the jitted steps (the bstats
+    # mask additionally selects the frozen-norm names baked into the
+    # model apply), so assigning them after a step has compiled would
+    # silently change nothing. The setters therefore drop every compiled
+    # step so the next call retraces with the new mask.
+    def _invalidate_steps(self):
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._dd_steps.clear()
+        self._dp_step = None
+
+    @property
+    def frozen_mask(self):
+        return self._frozen_mask
+
+    @frozen_mask.setter
+    def frozen_mask(self, value):
+        self._frozen_mask = value
+        self._invalidate_steps()
+
+    @property
+    def frozen_bstats_mask(self):
+        return self._frozen_bstats_mask
+
+    @frozen_bstats_mask.setter
+    def frozen_bstats_mask(self, value):
+        self._frozen_bstats_mask = value
+        self._invalidate_steps()
 
     # ---- steps ----
     def _frozen_norm_names(self):

@@ -266,6 +266,45 @@ class TestBnFreeze:
             before["readout_norm"]["mean"],
             np.asarray(after["readout_norm"]["mean"]))
 
+    def test_mask_set_after_compile_retraces(self):
+        """Assigning frozen_bstats_mask AFTER the train step has compiled
+        must still take effect — the mask is read at trace time, so the
+        setter drops the compiled steps (round-4 ADVICE fix)."""
+        from gt_pyg_tpu.data import get_tensor_data
+        from gt_pyg_tpu.data.loader import iter_batches
+        from gt_pyg_tpu.nn import GraphTransformerNet
+        from gt_pyg_tpu.train import Trainer, TrainConfig
+        from gt_pyg_tpu.train.freeze import freeze_mask
+
+        ds = get_tensor_data(["CCO", "CCC", "CCN", "CCCO"],
+                             [1.0, 2.0, 3.0, 4.0], progress=False)
+        model = GraphTransformerNet(node_dim_in=140, edge_dim_in=39,
+                                    hidden_dim=16, num_gt_layers=1,
+                                    num_heads=2, dropout=0.0, norm="bn")
+        cfg = TrainConfig(endpoints=("y",), epochs=1, batch_train=4,
+                          node_multiple=32, edge_multiple=32, loss="mae")
+        trainer = Trainer(model, cfg)
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=32))
+        state = trainer.init_state(sample)
+        # compile the step with NO mask first
+        state, _, _ = trainer.train_epoch(state, ds, jnp.ones((1,)), 1,
+                                          jax.random.PRNGKey(0))
+        # now freeze — a stale compiled step would keep updating stats
+        trainer.frozen_mask = freeze_mask(state["params"], "encoder")
+        trainer.frozen_bstats_mask = freeze_mask(state["batch_stats"],
+                                                 "encoder", num_layers=1)
+        before = jax.tree_util.tree_map(np.asarray, state["batch_stats"])
+        state, _, _ = trainer.train_epoch(state, ds, jnp.ones((1,)), 2,
+                                          jax.random.PRNGKey(1))
+        after = state["batch_stats"]
+        np.testing.assert_array_equal(
+            before["input_norm"]["mean"],
+            np.asarray(after["input_norm"]["mean"]))
+        assert not np.array_equal(
+            before["readout_norm"]["mean"],
+            np.asarray(after["readout_norm"]["mean"]))
+
     def test_frozen_bn_forward_uses_running_stats(self):
         """Reference BN-eval-on-freeze FORWARD semantics
         (model.py:374-385): a frozen component's BatchNorm normalizes

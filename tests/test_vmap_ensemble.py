@@ -81,6 +81,105 @@ class TestStepEquivalence:
             rtol=1e-6, atol=1e-7)
 
 
+class TestDecorrelate:
+    """Per-member minibatch streams (round-4): repadded+stacked recipes
+    must materialize exactly like the originals, and members must see
+    different batches at the same step."""
+
+    def _dd(self, ds):
+        from gt_pyg_tpu.data.device_dataset import DeviceDataset
+
+        return DeviceDataset(ds)
+
+    def _assert_same_real_rows(self, ref, got, nn, ne, ng):
+        np.testing.assert_array_equal(np.asarray(got.node_x)[:nn],
+                                      np.asarray(ref.node_x)[:nn])
+        np.testing.assert_array_equal(np.asarray(got.edge_src)[:ne],
+                                      np.asarray(ref.edge_src)[:ne])
+        np.testing.assert_array_equal(np.asarray(got.edge_dst)[:ne],
+                                      np.asarray(ref.edge_dst)[:ne])
+        np.testing.assert_array_equal(np.asarray(got.y)[:ng],
+                                      np.asarray(ref.y)[:ng])
+        assert float(np.asarray(got.node_mask).sum()) == nn
+        assert float(np.asarray(got.edge_mask).sum()) == ne
+
+    @pytest.mark.parametrize("tiled", [False, True])
+    def test_repad_materializes_identically(self, setup, tiled):
+        _, _, ds = setup
+        dd = self._dd(ds)
+        ids = [0, 3, 4]
+        if tiled:
+            ib = dd.index_batch_tiled(ids, tile_edges=64, graph_pad=4)
+            big = dd.repad(ib, ib.node_gather.shape[0] + 2 * 128,
+                           ib.edge_gather.shape[0] + 2 * 64)
+        else:
+            ib = dd.index_batch(ids, node_pad=64, edge_pad=96, graph_pad=4)
+            big = dd.repad(ib, 128, 160)
+        ref = dd.materialize(ib)
+        got = dd.materialize(big)
+        nn, ne = int(ib.num_nodes), int(ib.num_edges)
+        self._assert_same_real_rows(ref, got, nn, ne, len(ids))
+
+    def test_unify_and_stack_vmap_matches_singles(self, setup):
+        _, _, ds = setup
+        from gt_pyg_tpu.data.device_dataset import materialize_batch
+
+        dd = self._dd(ds)
+        ib_a = dd.index_batch([0, 1, 2], node_pad=32, edge_pad=64,
+                              graph_pad=4)
+        ib_b = dd.index_batch([7, 8, 9, 4], node_pad=64, edge_pad=96,
+                              graph_pad=4)
+        stacked = dd.unify_and_stack([ib_a, ib_b])
+        assert stacked.node_gather.shape == (2, 64)
+        tree = dd.device_tree()
+        meta = dd.static_meta()
+        sj = jax.tree_util.tree_map(jnp.asarray, stacked)
+        batches = jax.vmap(
+            lambda one: materialize_batch(tree, one, meta))(sj)
+        for k, ib in enumerate([ib_a, ib_b]):
+            ref = dd.materialize(ib)
+            got = jax.tree_util.tree_map(lambda x, k=k: x[k], batches)
+            self._assert_same_real_rows(ref, got, int(ib.num_nodes),
+                                        int(ib.num_edges),
+                                        int(ib.num_graphs))
+
+    def test_members_see_different_batches(self, setup):
+        """At a given step the decorrelated members must consume
+        different graph subsets (independent shuffle streams)."""
+        model, cfg, ds = setup
+        ens = VmapEnsembleTrainer(model, cfg, num_members=2,
+                                  member_seeds=[1000, 1001])
+        dd = ens.inner._get_dd(ds)
+        iters = [dd.iter_index_batches(4, shuffle=True,
+                                       rng=np.random.default_rng(
+                                           1_000_003 * (s + 1) + 1),
+                                       node_multiple=32, edge_multiple=64)
+                 for s in ens.seeds]
+        first = [next(it) for it in iters]
+        assert not np.array_equal(first[0].graph_ids, first[1].graph_ids)
+
+    def test_decorrelated_fit_runs(self, setup):
+        model, cfg, ds = setup
+        ens = VmapEnsembleTrainer(model, cfg, num_members=2,
+                                  member_seeds=[1000, 1001],
+                                  decorrelate=True)
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=64, num_tasks=2))
+        states = ens.init_states(sample)
+        res = ens.fit(states, ds[:8], ds[8:])
+        assert np.all(np.isfinite(res["best_rae"]))
+
+    def test_shared_stream_mode_still_works(self, setup):
+        model, cfg, ds = setup
+        ens = VmapEnsembleTrainer(model, cfg, num_members=2,
+                                  decorrelate=False)
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=64, num_tasks=2))
+        states = ens.init_states(sample)
+        res = ens.fit(states, ds[:8], ds[8:])
+        assert np.all(np.isfinite(res["best_rae"]))
+
+
 class TestFit:
     def test_fit_members_diverge_and_track_best(self, setup, tmp_path):
         model, cfg, ds = setup
