@@ -85,6 +85,7 @@ class PrefetchIterator:
     def __init__(self, it: Iterable, prefetch: int = 2):
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._err: Optional[BaseException] = None
+        self._done = False
 
         def worker():
             try:
@@ -102,8 +103,13 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        # the sentinel is enqueued exactly once — remember exhaustion so
+        # a post-exhaustion next() raises instead of blocking forever
+        if self._done:
+            raise StopIteration
         item = self._queue.get()
         if item is self._SENTINEL:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
