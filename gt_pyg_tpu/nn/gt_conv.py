@@ -94,21 +94,7 @@ class GTConv(nn.Module):
         UNSLICED — the tile kernel consumes it whole and slices
         per-tensor views in VMEM, so no slice fusions over HBM ever
         materialize."""
-        kernels, biases = [], []
-        for name, feats, use_bias, affine in specs:
-            kk, bb = _LinearParams(in_features, feats, xavier_uniform(),
-                                   use_bias=use_bias, name=name)()
-            bias = bb if bb is not None else jnp.zeros((feats,),
-                                                       jnp.float32)
-            if affine is not None:
-                a, b = affine
-                bias = bias + b @ kk
-                kk = kk * a[:, None]
-            kernels.append(kk)
-            biases.append(bias)
-        w = (jnp.concatenate(kernels, axis=1) if len(kernels) > 1
-             else kernels[0])
-        bias = (jnp.concatenate(biases) if len(biases) > 1 else biases[0])
+        w, bias = self._merged_params(in_features, specs)
         # f32 accumulate + f32 bias add, ONE cast at the end: under
         # folding, x@(a·W) and the folded bias b@W are both large and
         # cancel to an O(1) output — rounding the dot to bf16 before the
@@ -125,6 +111,29 @@ class GTConv(nn.Module):
             outs.append(y[:, off:off + feats])
             off += feats
         return outs
+
+    def _merged_params(self, in_features, specs):
+        """The merged (kernel, bias) of several Dense-equivalent
+        projections (param paths identical to per-name nn.Dense), with
+        optional pre-norm affines folded in. Used by :meth:`_merged_proj`
+        and, on the v5 projection-fused path, passed straight into the
+        tile kernel."""
+        kernels, biases = [], []
+        for name, feats, use_bias, affine in specs:
+            kk, bb = _LinearParams(in_features, feats, xavier_uniform(),
+                                   use_bias=use_bias, name=name)()
+            bias = bb if bb is not None else jnp.zeros((feats,),
+                                                       jnp.float32)
+            if affine is not None:
+                a, b = affine
+                bias = bias + b @ kk
+                kk = kk * a[:, None]
+            kernels.append(kk)
+            biases.append(bias)
+        w = (jnp.concatenate(kernels, axis=1) if len(kernels) > 1
+             else kernels[0])
+        bias = (jnp.concatenate(biases) if len(biases) > 1 else biases[0])
+        return w, bias
 
     def _validate(self):
         validate_dropout("dropout", self.dropout)
@@ -217,7 +226,42 @@ class GTConv(nn.Module):
             if self.gate:
                 e_specs_fold.append(("e_gate", H, True, None))
 
-        if use_tile:
+        # v5 projection-fused path: the folded Q/K/V/gate + edge
+        # projections, the attention core, and WO/WOe all run inside ONE
+        # kernel per direction over the residual streams — the XLA
+        # projection matmul tier and the qkvg/e_all/out/eij HBM round
+        # trips disappear (see the v5 banner in ops/pallas/gt_tile.py).
+        import os as _os
+
+        proj_mode = _os.environ.get("GT_TPU_PROJ", "auto").lower()
+        use_proj = (use_tile and fold and self.edge_in_dim is not None
+                    and proj_mode != "off")
+
+        eij = None
+        e_attn_pre = None
+        if use_proj:
+            from ..ops.pallas.gt_tile import gt_attention_tile_proj
+
+            w_qkvg, b_qkvg = self._merged_params(self.node_in_dim,
+                                                 qkv_specs)
+            w_eall, b_eall = self._merged_params(self.edge_in_dim,
+                                                 e_specs_fold)
+            wo_k, wo_b = _LinearParams(self.hidden_dim * len(aggs),
+                                       self.node_in_dim, xavier_uniform(),
+                                       name="WO")()
+            if len(aggs) > 1:
+                wo_k = wo_k[wo_row_perm(H, Dh, len(aggs))]
+            woe_k, woe_b = _LinearParams(self.hidden_dim,
+                                         self.edge_in_dim,
+                                         xavier_uniform(), name="WOe")()
+            attn_out, e_attn_pre = gt_attention_tile_proj(
+                x_res, edge_attr, w_qkvg, b_qkvg, w_eall, b_eall,
+                wo_k, wo_b, woe_k, woe_b, edge_src, edge_dst,
+                H, self.hidden_dim, tile_edges, has_gate=self.gate,
+                aggregators=aggs,
+                dropout_rate=self.dropout if not deterministic else 0.0,
+                dropout_rng=attn_rng)
+        elif use_tile:
             from ..ops.pallas.gt_tile import gt_attention_tile_merged
 
             qkvg = self._merged_proj(qkv_in, self.node_in_dim, qkv_specs,
@@ -299,19 +343,21 @@ class GTConv(nn.Module):
 
         drop = lambda name: Dropout(rate=self.dropout, name=name)
 
-        # WO consumes the reference [h][a][d] layout; the kernels emit
-        # aggregator-major [a][h][d], so permute WO's ROWS instead of
-        # relayouting the activation every step (checkpoint orientation
-        # is unchanged — torch imports and the lax path share it).
-        wo_k, wo_b = _LinearParams(self.hidden_dim * len(aggs),
-                                   self.node_in_dim, xavier_uniform(),
-                                   name="WO")()
-        if len(aggs) > 1:
-            wo_k = wo_k[wo_row_perm(H, Dh, len(aggs))]
-        attn_out = (jax.lax.dot(out.astype(self.dtype),
-                                wo_k.astype(self.dtype),
-                                preferred_element_type=jnp.float32)
-                    + wo_b).astype(self.dtype)
+        if not use_proj:
+            # WO consumes the reference [h][a][d] layout; the kernels
+            # emit aggregator-major [a][h][d], so permute WO's ROWS
+            # instead of relayouting the activation every step
+            # (checkpoint orientation is unchanged — torch imports and
+            # the lax path share it).
+            wo_k, wo_b = _LinearParams(self.hidden_dim * len(aggs),
+                                       self.node_in_dim,
+                                       xavier_uniform(), name="WO")()
+            if len(aggs) > 1:
+                wo_k = wo_k[wo_row_perm(H, Dh, len(aggs))]
+            attn_out = (jax.lax.dot(out.astype(self.dtype),
+                                    wo_k.astype(self.dtype),
+                                    preferred_element_type=jnp.float32)
+                        + wo_b).astype(self.dtype)
         attn_out = drop("dropout_attn_out")(attn_out, deterministic=deterministic)
         x1 = x_res + attn_out
 
@@ -355,7 +401,10 @@ class GTConv(nn.Module):
             return x_out, edge_attr
 
         # ---- edge update path (pre-softmax QK ⊙ E_val, gt_conv.py:323-341)
-        e_attn = dense(self.edge_in_dim, "WOe")(eij)
+        if use_proj:
+            e_attn = e_attn_pre.astype(self.dtype)
+        else:
+            e_attn = dense(self.edge_in_dim, "WOe")(eij)
         e_attn = drop("dropout_e_attn")(e_attn, deterministic=deterministic)
         e1 = edge_attr + e_attn
         norm1e = self.norm_fn("norm1e", self.edge_in_dim)

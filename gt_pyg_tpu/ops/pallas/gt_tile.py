@@ -225,6 +225,39 @@ def _dot_t_soft(a, b, md):
             + _dot_t(aa, lo, jax.lax.Precision.DEFAULT))
 
 
+def _shift_gather_mode():
+    import os
+
+    return os.environ.get("GT_TPU_SHIFT", "matmul").lower()
+
+
+def _dot_gather_shift(sd, vals_t, md):
+    """Gather per-node shift values back to edge rows as ONE MXU matmul
+    over all heads: sd [TE, NT] one-hot × vals_t [H, NT] → [TE, H].
+
+    Exactness analysis (v5): the one-hot row-select makes every product
+    either 0 or the node's value, so f32-HIGHEST is bit-exact. In bf16
+    compute the value operand splits hi+lo (two single-pass dots): the
+    gathered shift carries ~2^-16 RELATIVE error, but the SAME rounded
+    value reaches every edge of the node — and a per-node-constant shift
+    error cancels between softmax numerator and denominator (alpha is
+    shift-invariant), so the only hazard is exp overflow, which needs
+    |logit| ≳ 1e6·88 — far beyond trained scales. Single-pass bf16 would
+    NOT be safe (0.4% of a 1e5-scale shift ≈ e^400 overflow), so this
+    site ignores GT_TPU_SOFT_PREC=default."""
+    dn = (((1,), (1,)), ((), ()))
+    if md != jnp.bfloat16:
+        return jax.lax.dot_general(sd, vals_t, dn,
+                                   preferred_element_type=_F32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    hi = vals_t.astype(jnp.bfloat16)
+    lo = (vals_t - hi.astype(_F32)).astype(jnp.bfloat16)
+    sdb = sd.astype(jnp.bfloat16)
+    return (jax.lax.dot_general(sdb, hi, dn, preferred_element_type=_F32)
+            + jax.lax.dot_general(sdb, lo, dn,
+                                  preferred_element_type=_F32))
+
+
 def _dot_logits(a, b):
     """The pre-softmax logit head-reduce stays HIGHEST regardless of the
     GT_TPU_SOFT_PREC toggle: its operands are O(10-100) QK products and
@@ -254,15 +287,20 @@ def _dot_t(a, b, prec):
 # 4-layer step against a ~3 ms matmul floor), and the per-tile matmul
 # shapes are unchanged, so amortizing the overhead G× is pure win as
 # long as the G-tile working set fits VMEM.
-def _recompute_tile(cfg, refs, en, nn_, base, iota):
+def _recompute_tile(cfg, refs, en, nn_, base, iota, qkvg=None,
+                    e_all=None, md=None):
     """Shared fwd/bwd-recompute stage. Returns a dict of per-tile
-    intermediates (all f32 unless noted)."""
+    intermediates (all f32 unless noted).
+
+    ``qkvg``/``e_all`` default to slices of HBM-resident input refs (the
+    v4 interface); the projection-fused v5 kernel passes them as VMEM
+    VALUES it just computed from the residual streams."""
     heads, dh, te, aggs, has_gate, has_edge, drop_rate = cfg[:7]
     hidden = heads * dh
     scale = 1.0 / math.sqrt(dh)
 
-    qkvg_ref = refs["qkvg"]
-    md = _mm_dtype(qkvg_ref.dtype)
+    if md is None:
+        md = _mm_dtype(refs["qkvg"].dtype)
 
     sl = refs["src"][en] - base                 # [TE, 1] tile-local
     dl = refs["dst"][en] - base
@@ -270,7 +308,8 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
     sd_b = dl == iota
     ss_m, sd_m = ss_b.astype(md), sd_b.astype(md)
 
-    qkvg = qkvg_ref[nn_].astype(md)             # [NT, (3+gate)·hidden]
+    if qkvg is None:
+        qkvg = refs["qkvg"][nn_].astype(md)     # [NT, (3+gate)·hidden]
     q_e = _dot(sd_m, qkvg[:, :hidden])          # [TE, hidden] f32
     kvg_e = _dot(ss_m, qkvg[:, hidden:])        # [TE, (2+gate)·hidden]
     k_e = kvg_e[:, :hidden]
@@ -282,7 +321,8 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
 
     e_val = None
     if has_edge:
-        e_all = refs["e_all"][en]
+        if e_all is None:
+            e_all = refs["e_all"][en]
         e_val = e_all[:, :hidden].astype(_F32)
         logits = logits + e_all[:, hidden:hidden + heads].astype(_F32)
         v_msg = v_e + e_val
@@ -299,7 +339,7 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
     logits_pre = logits
     if has_gate and has_edge:
         sig_eg = jax.nn.sigmoid(
-            refs["e_all"][en][:, hidden + heads:].astype(_F32))
+            e_all[:, hidden + heads:].astype(_F32))
         logits = logits * sig_eg
 
     # Per-DESTINATION-NODE softmax shift. v3 used one shift per
@@ -335,17 +375,26 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota):
         p = refs["p_saved"][en].astype(_F32)
         den_deg = refs["den_deg"][nn_].astype(_F32)
     else:
-        shift_cols = []
+        m_cols = []
         for hh in range(heads):
-            mcol = jnp.max(
+            m_cols.append(jnp.max(
                 jnp.where(sd_b, logits[:, hh:hh + 1], _NEG_INF),
-                axis=0, keepdims=True)          # [1, NT] node maxes
-            shift_cols.append(jnp.sum(jnp.where(sd_b, mcol, 0.0), axis=1,
-                                      keepdims=True))   # [TE, 1] gather
-        s_edge = jnp.concatenate(shift_cols, axis=1)    # [TE, H]
-        # valid rows have s_edge >= their logit (own edge participates
-        # in the node max) so p <= 1; padding rows gathered s=0 and
-        # logits=-inf
+                axis=0, keepdims=True))         # [1, NT] node maxes
+        m_node_t = jnp.concatenate(m_cols, axis=0)      # [H, NT]
+        if _shift_gather_mode() == "select":
+            # v4 gather: exact per-head one-hot select-sums (f32 VPU) —
+            # kept behind GT_TPU_SHIFT=select for A/B; ~2x the VPU
+            # passes of the matmul gather
+            s_edge = jnp.concatenate(
+                [jnp.sum(jnp.where(sd_b, m_node_t[hh:hh + 1, :], 0.0),
+                         axis=1, keepdims=True)
+                 for hh in range(heads)], axis=1)       # [TE, H]
+        else:
+            s_edge = _dot_gather_shift(sd_f, m_node_t, md)
+        # valid rows have s_edge >= their logit - eps (own edge
+        # participates in the node max; the bf16 matmul gather can be
+        # ~2^-16 relative off, uniformly per node) so p <= ~1; padding
+        # rows gathered s=0 and logits=-inf
         p = jnp.exp(logits - s_edge)            # [TE, H]; padding -> 0
         # node degree rides the denominator contraction as an extra
         # lane column (both outputs are lane-padded to 128 anyway)
@@ -695,6 +744,521 @@ def _tile_core_bwd(cfg, residuals, cotangents):
 
 
 _tile_core.defvjp(_tile_core_fwd, _tile_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v5: projection-fused kernel. The whole GTConv attention block —
+# pre-norm-folded Q/K/V/gate and edge projections, the attention core,
+# and the WO / WOe output projections — runs as ONE kernel per
+# direction over the residual streams x [Np, Din] and e [Ep, De].
+#
+# What this removes vs v4 (per layer, per direction, flagship batch):
+# the XLA projection matmul tier (measured 7.2 ms/step at 19% MFU in
+# round 3) and the HBM round trips of qkvg [Np, (3+gate)·hidden],
+# e_all [Ep, hidden+(1+gate)·H] (f32), out [Np, A·hidden] and
+# eij [Ep, hidden] — the projections' operands (residual streams) are
+# already the kernel's inputs, and the weights ([~0.3 MB total) ride
+# VMEM as constant-index blocks.
+#
+# Precision contract (bf16 compute; f32 is HIGHEST everywhere):
+# * qkvg is computed f32 (dot accum + folded f32 bias — the folded
+#   x@(a·W) and b@W terms are large and CANCEL; bf16-rounding before
+#   the add is the round-2 instability) and cast ONCE to bf16 — the
+#   same values v4 read from the bf16 HBM buffer.
+# * e_all stays f32 in VMEM: the logit-bias columns reach O(1e4-1e5)
+#   at trained weights and never touch bf16 here (v4 stored them f32
+#   in HBM for the same reason; v5 never stores them at all).
+# * dx uses single-pass bf16 on dqkvg (v4 STORED dqkvg in bf16, so
+#   this matches the status quo exactly); de / dW_e_all split the f32
+#   de_all operand hi+lo (v4 stored de_all f32 — split2 keeps ~2^-16
+#   relative instead of bf16's 0.4%).
+# * weight/bias grads accumulate in f32 VMEM across a sequential grid
+#   (the FFN kernel's reduction pattern).
+#
+# Reference roles fused here: gt_conv.py:289-303 (projections),
+# :306-393 (propagate/message), :310-313 (WO), :333 (WOe).
+# ---------------------------------------------------------------------------
+
+# proj cfg (body view, 10-tuple):
+#   (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
+#    din, de)
+def _proj_qkvg(cfg, refs, x_t, md):
+    q = _dot(x_t, refs["w_qkvg"][:].astype(md)) \
+        + refs["b_qkvg"][:].astype(_F32)
+    return q.astype(md)
+
+
+def _proj_eall(cfg, refs, e_t, md):
+    return _dot(e_t, refs["w_eall"][:].astype(md)) \
+        + refs["b_eall"][:].astype(_F32)        # stays f32
+
+
+def _agg_out(cfg, t, md):
+    """Recompute the aggregated node output [NT, hidden·A] (fwd math,
+    shared by the fwd body and the WO weight-grad in the bwd body)."""
+    heads, dh, te, aggs = cfg[0], cfg[1], cfg[2], cfg[3]
+    hidden = heads * dh
+    p_keep = t["p"] if t["keep"] is None else t["p"] * t["keep"]
+    S_m = t["S_m_raw"].astype(md)
+    msg = _dot(p_keep.astype(md), S_m.T) * t["v_msg"]
+    sum_pre = _dot_t(t["sd_m"], msg.astype(md), _prec(S_m, S_m))
+    denom_bc = _dot_soft(t["denom"], t["S_m_raw"].T, md) + _SOFTMAX_EPS
+    sum_out = sum_pre / denom_bc
+    outs = []
+    for a in aggs:
+        if a == "sum":
+            outs.append(sum_out)
+        elif a == "mean":
+            outs.append(sum_out / t["deg"])
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def _proj_fwd_body(cfg, refs):
+    (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
+     din, de) = cfg
+    hidden = heads * dh
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
+    md = _mm_dtype(refs["x"].dtype)
+
+    for g in range(g_tiles):
+        en = pl.ds(g * te, te)
+        nn_ = pl.ds(g * NT, NT)
+        base = (pl.program_id(0) * g_tiles + g) * NT
+        x_t = refs["x"][nn_].astype(md)
+        e_t = refs["e"][en].astype(md)
+        qkvg = _proj_qkvg(cfg, refs, x_t, md)
+        e_all = _proj_eall(cfg, refs, e_t, md)
+        t = _recompute_tile(cfg, refs, en, nn_, base, iota, qkvg=qkvg,
+                            e_all=e_all, md=md)
+
+        eij = t["prod"] * t["e_val"]            # [TE, hidden] f32
+        e_attn = _dot(eij.astype(md), refs["w_oe"][:].astype(md)) \
+            + refs["b_oe"][:].astype(_F32)
+        refs["e_attn"][en] = e_attn.astype(refs["e_attn"].dtype)
+
+        if "p_out" in refs:
+            refs["p_out"][en] = t["p"]
+            refs["den_deg_out"][nn_] = t["den_deg"]
+
+        out = _agg_out(cfg, t, md)              # [NT, hidden·A] f32
+        attn = _dot(out.astype(md), refs["w_o"][:].astype(md)) \
+            + refs["b_o"][:].astype(_F32)
+        refs["attn_out"][nn_] = attn.astype(refs["attn_out"].dtype)
+
+
+def _split2_dot(a_f32, b, dn=None):
+    """f32 × bf16 dot with the f32 operand split hi+lo (2 single-pass
+    bf16 dots, ~2^-16 relative)."""
+    hi = a_f32.astype(jnp.bfloat16)
+    lo = (a_f32 - hi.astype(_F32)).astype(jnp.bfloat16)
+    bb = b.astype(jnp.bfloat16)
+    if dn is None:
+        return (jax.lax.dot(hi, bb, preferred_element_type=_F32)
+                + jax.lax.dot(lo, bb, preferred_element_type=_F32))
+    return (jax.lax.dot_general(hi, bb, dn, preferred_element_type=_F32)
+            + jax.lax.dot_general(lo, bb, dn,
+                                  preferred_element_type=_F32))
+
+
+def _dot_mixed(a_f32, b, md, dn=None):
+    """Contract an f32 VMEM value against weights/operands: split2 in
+    bf16 mode, HIGHEST in f32 mode."""
+    if md == jnp.bfloat16:
+        return _split2_dot(a_f32, b, dn)
+    if dn is None:
+        return jax.lax.dot(a_f32, b.astype(_F32),
+                           preferred_element_type=_F32,
+                           precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(a_f32, b.astype(_F32), dn,
+                               preferred_element_type=_F32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+_DN_T = (((1,), (1,)), ((), ()))     # contract both operands' dim 1
+_DN_ROWS = (((0,), (0,)), ((), ()))  # contract both operands' dim 0
+
+
+def _proj_bwd_body(cfg, refs):
+    (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
+     din, de) = cfg
+    hidden = heads * dh
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
+    md = _mm_dtype(refs["x"].dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for nm in ("gw_qkvg", "gw_eall", "gw_o", "gw_oe"):
+            refs[nm][:] = jnp.zeros_like(refs[nm])
+
+    for g in range(g_tiles):
+        en = pl.ds(g * te, te)
+        nn_ = pl.ds(g * NT, NT)
+        base = (pl.program_id(0) * g_tiles + g) * NT
+        x_t = refs["x"][nn_].astype(md)
+        e_t = refs["e"][en].astype(md)
+        qkvg = _proj_qkvg(cfg, refs, x_t, md)
+        e_all = _proj_eall(cfg, refs, e_t, md)
+        t = _recompute_tile(cfg, refs, en, nn_, base, iota, qkvg=qkvg,
+                            e_all=e_all, md=md)
+        S_m = t["S_m_raw"].astype(md)
+        sd_f = t["sd_f"]
+
+        # ---- WO backward: g_out = g_attn @ WOᵀ; dWO += outᵀ g_attn
+        g_attn = refs["g_attn_out"][nn_].astype(md)       # [NT, din]
+        w_o = refs["w_o"][:]
+        g_out_full = jax.lax.dot_general(
+            g_attn, w_o.astype(md), _DN_T,
+            preferred_element_type=_F32)                  # [NT, A·hidden]
+        # v4 stored `out` in bf16 HBM before XLA's dWO matmul — the
+        # md-cast single-pass here matches that status quo
+        out = _agg_out(cfg, t, md)                        # f32
+        refs["gw_o"][:hidden * len(aggs), :] += jax.lax.dot_general(
+            out.astype(md), g_attn, _DN_ROWS,
+            preferred_element_type=_F32, precision=_prec(g_attn, g_attn))
+        refs["gw_o"][hidden * len(aggs):, :] += jnp.sum(
+            g_attn.astype(_F32), axis=0, keepdims=True)
+
+        # ---- WOe backward: g_eij = g_e_attn @ WOeᵀ; dWOe += eijᵀ g
+        g_e_attn = refs["g_e_attn"][en].astype(md)        # [TE, de]
+        w_oe = refs["w_oe"][:]
+        g_eij = jax.lax.dot_general(
+            g_e_attn, w_oe.astype(md), _DN_T,
+            preferred_element_type=_F32)                  # [TE, hidden]
+        eij = t["prod"] * t["e_val"]                      # v4: bf16 HBM
+        refs["gw_oe"][:hidden, :] += jax.lax.dot_general(
+            eij.astype(md), g_e_attn, _DN_ROWS,
+            preferred_element_type=_F32, precision=_prec(g_e_attn,
+                                                         g_e_attn))
+        refs["gw_oe"][hidden:, :] += jnp.sum(
+            g_e_attn.astype(_F32), axis=0, keepdims=True)
+
+        # ---- attention core backward (v4 math on VMEM values) ----
+        den_e = _dot_soft(sd_f, t["denom"], md,
+                          values="rhs") + _SOFTMAX_EPS
+        alpha_raw = t["p"] / den_e
+        alpha = alpha_raw if t["keep"] is None else alpha_raw * t["keep"]
+        alpha_full = _dot(alpha.astype(md), S_m.T)
+
+        g_node = jnp.zeros((NT, hidden), _F32)
+        off = 0
+        for a in aggs:
+            piece = g_out_full[:, off:off + hidden]
+            if a == "sum":
+                g_node = g_node + piece
+            elif a == "mean":
+                g_node = g_node + piece / t["deg"]
+            off += hidden
+
+        g_msg = _dot(t["sd_m"], g_node.astype(md))
+        g_alpha_full = g_msg * t["v_msg"]
+        g_v_msg = alpha_full * g_msg
+
+        g_alpha = _dot_soft(g_alpha_full, t["S_m_raw"], md)
+        g_alpha_raw = (g_alpha if t["keep"] is None
+                       else g_alpha * t["keep"])
+        t_e = alpha_raw * g_alpha_raw
+        t_n = _dot_t_soft(sd_f, t_e, md)
+        g_logits = alpha_raw * (g_alpha_raw
+                                - _dot_soft(sd_f, t_n, md, values="rhs"))
+
+        if has_gate:
+            g_logits_pre = g_logits * t["sig_eg"]
+            de_gate = (g_logits * t["logits_pre"] * t["sig_eg"]
+                       * (1.0 - t["sig_eg"]))
+        else:
+            g_logits_pre = g_logits
+            de_gate = None
+
+        g_prod = _dot(g_logits_pre.astype(md), S_m.T)
+        g_prod = g_prod + g_eij * t["e_val"]
+        g_e_val = g_eij * t["prod"]
+        if has_gate:
+            g_v_base = g_v_msg * t["sig_g"]
+            g_gate_e = g_v_msg * t["v_base"] * t["sig_g"] \
+                * (1.0 - t["sig_g"])
+        else:
+            g_v_base = g_v_msg
+            g_gate_e = None
+
+        g_q_e = g_prod * t["k_e"] * t["scale"]
+        g_k_e = g_prod * t["q_e"] * t["scale"]
+
+        dq = _dot_t(t["sd_m"], g_q_e.astype(md), _prec(S_m, S_m))
+        kv_grads = [g_k_e, g_v_base]
+        if has_gate:
+            kv_grads.append(g_gate_e)
+        dkvg = _dot_t(t["ss_m"],
+                      jnp.concatenate(kv_grads, axis=1).astype(md),
+                      _prec(S_m, S_m))
+        dqkvg = jnp.concatenate([dq, dkvg], axis=1)       # [NT, 3+g·hid]
+
+        de_parts = [g_e_val + g_v_base, g_logits_pre]
+        if has_gate:
+            de_parts.append(de_gate)
+        de_all = jnp.concatenate(de_parts, axis=1)        # [TE, w_e] f32
+
+        # ---- projection backward ----
+        w_qkvg = refs["w_qkvg"][:]
+        # dqkvg was STORED bf16 by v4 before the XLA dx matmul — the
+        # bf16 single-pass here matches that status quo bit-for-bit
+        refs["dx"][nn_] = jax.lax.dot_general(
+            dqkvg.astype(md), w_qkvg.astype(md), _DN_T,
+            preferred_element_type=_F32).astype(refs["dx"].dtype)
+        refs["gw_qkvg"][:din, :] += jax.lax.dot_general(
+            x_t, dqkvg.astype(md), _DN_ROWS,
+            preferred_element_type=_F32, precision=_prec(x_t, x_t))
+        refs["gw_qkvg"][din:, :] += jnp.sum(dqkvg, axis=0, keepdims=True)
+
+        w_eall = refs["w_eall"][:]
+        refs["de"][en] = _dot_mixed(de_all, w_eall, md,
+                                    _DN_T).astype(refs["de"].dtype)
+        # dW_eall = eᵀ @ de_all with de_all f32: split2 keeps the f32
+        # de_all fidelity v4 had (it stored de_all f32 for XLA)
+        if md == jnp.bfloat16:
+            hi = de_all.astype(jnp.bfloat16)
+            lo = (de_all - hi.astype(_F32)).astype(jnp.bfloat16)
+            gw_e = (jax.lax.dot_general(e_t, hi, _DN_ROWS,
+                                        preferred_element_type=_F32)
+                    + jax.lax.dot_general(e_t, lo, _DN_ROWS,
+                                          preferred_element_type=_F32))
+        else:
+            gw_e = jax.lax.dot_general(
+                e_t.astype(_F32), de_all, _DN_ROWS,
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)
+        refs["gw_eall"][:de, :] += gw_e
+        refs["gw_eall"][de:, :] += jnp.sum(de_all, axis=0, keepdims=True)
+
+
+def _weight_block(shape):
+    return pl.BlockSpec(shape, lambda t: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _proj_collect(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
+                  src, dst):
+    (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
+     din, de) = cfg
+    hidden = heads * dh
+    w_e = hidden + heads * (1 + has_gate)
+    names = ["x", "e", "w_qkvg", "b_qkvg", "w_eall", "b_eall",
+             "w_o", "b_o", "w_oe", "b_oe"]
+    arrays = [x, e, wq, bq.reshape(1, -1), we, be.reshape(1, -1),
+              wo, bo.reshape(1, -1), woe, boe.reshape(1, -1)]
+    specs = [_node_block(cfg, din), _edge_block(cfg, de),
+             _weight_block((din, hidden * (3 + has_gate))),
+             _weight_block((1, hidden * (3 + has_gate))),
+             _weight_block((de, w_e)), _weight_block((1, w_e)),
+             _weight_block((hidden * len(aggs), din)),
+             _weight_block((1, din)),
+             _weight_block((hidden, de)), _weight_block((1, de))]
+    if drop_rate > 0.0:
+        names.append("bits")
+        arrays.append(bits)
+        specs.append(_edge_block(cfg, heads))
+    names += ["src", "dst", "s_head"]
+    arrays += [src.reshape(-1, 1), dst.reshape(-1, 1),
+               jnp.asarray(_head_indicator(heads, dh))]
+    specs += [_edge_block(cfg, 1), _edge_block(cfg, 1),
+              pl.BlockSpec((hidden, heads), lambda t: (0, 0),
+                           memory_space=pltpu.VMEM)]
+    return names, arrays, specs
+
+
+def _run_proj_fwd(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
+                  src, dst, save_soft):
+    (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
+     din, de) = cfg
+    hidden = heads * dh
+    npad, ep = x.shape[0], src.shape[0]
+    n_tiles = npad // NT
+
+    names, arrays, in_specs = _proj_collect(cfg, x, e, wq, bq, we, be,
+                                            wo, bo, woe, boe, bits, src,
+                                            dst)
+    out_shapes = [jax.ShapeDtypeStruct((npad, din), x.dtype),
+                  jax.ShapeDtypeStruct((ep, de), x.dtype)]
+    out_specs = [_node_block(cfg, din), _edge_block(cfg, de)]
+    out_names = ["attn_out", "e_attn"]
+    if save_soft:
+        out_shapes.append(jax.ShapeDtypeStruct((ep, heads), _F32))
+        out_specs.append(_edge_block(cfg, heads))
+        out_names.append("p_out")
+        out_shapes.append(jax.ShapeDtypeStruct((npad, heads + 1), _F32))
+        out_specs.append(_node_block(cfg, heads + 1))
+        out_names.append("den_deg_out")
+
+    def body(*refs):
+        _proj_fwd_body(cfg, dict(zip(names + out_names, refs)))
+
+    res = pl.pallas_call(
+        body,
+        grid=(n_tiles // g_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=_cost(cfg, npad, ep, 9 + has_gate),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.PARALLEL,),
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_should_interpret(),
+    )(*arrays)
+    extras = res[-2:] if save_soft else (None, None)
+    return res[0], res[1], extras
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _proj_core(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits, src,
+               dst):
+    """Projection-fused forward: (attn_out [Np, Din], e_attn [Ep, De]).
+    ``cfg`` is an 11-tuple: (heads, dh, te, aggs, has_gate, has_edge,
+    drop_rate, g_fwd, g_bwd, din, de)."""
+    c = cfg[:7] + (cfg[7], cfg[9], cfg[10])
+    attn_out, e_attn, _ = _run_proj_fwd(c, x, e, wq, bq, we, be, wo, bo,
+                                        woe, boe, bits, src, dst,
+                                        save_soft=False)
+    return attn_out, e_attn
+
+
+def _proj_core_fwd(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
+                   src, dst):
+    c = cfg[:7] + (cfg[7], cfg[9], cfg[10])
+    attn_out, e_attn, (p_saved, den_deg) = _run_proj_fwd(
+        c, x, e, wq, bq, we, be, wo, bo, woe, boe, bits, src, dst,
+        save_soft=True)
+    return (attn_out, e_attn), (x, e, wq, bq, we, be, wo, bo, woe, boe,
+                                bits, src, dst, p_saved, den_deg)
+
+
+def _proj_core_bwd(cfg, residuals, cotangents):
+    c = cfg[:7] + (cfg[8], cfg[9], cfg[10])
+    (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
+     din, de) = c
+    hidden = heads * dh
+    (x, e, wq, bq, we, be, wo, bo, woe, boe, bits, src, dst, p_saved,
+     den_deg) = residuals
+    g_attn_out, g_e_attn = cotangents
+    npad, ep = x.shape[0], src.shape[0]
+    n_tiles = npad // NT
+    w_e = hidden + heads * (1 + has_gate)
+
+    names, arrays, in_specs = _proj_collect(c, x, e, wq, bq, we, be, wo,
+                                            bo, woe, boe, bits, src, dst)
+    names += ["p_saved", "den_deg", "g_attn_out", "g_e_attn"]
+    arrays += [p_saved, den_deg, g_attn_out.astype(x.dtype),
+               g_e_attn.astype(x.dtype)]
+    in_specs += [_edge_block(c, heads), _node_block(c, heads + 1),
+                 _node_block(c, din), _edge_block(c, de)]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((npad, din), x.dtype),          # dx
+        jax.ShapeDtypeStruct((ep, de), _F32),                # de (f32)
+        jax.ShapeDtypeStruct((din + 1, hidden * (3 + has_gate)), _F32),
+        jax.ShapeDtypeStruct((de + 1, w_e), _F32),
+        jax.ShapeDtypeStruct((hidden * len(aggs) + 1, din), _F32),
+        jax.ShapeDtypeStruct((hidden + 1, de), _F32),
+    ]
+    out_specs = [
+        _node_block(c, din), _edge_block(c, de),
+        _weight_block((din + 1, hidden * (3 + has_gate))),
+        _weight_block((de + 1, w_e)),
+        _weight_block((hidden * len(aggs) + 1, din)),
+        _weight_block((hidden + 1, de)),
+    ]
+    out_names = ["dx", "de", "gw_qkvg", "gw_eall", "gw_o", "gw_oe"]
+
+    def body(*refs):
+        _proj_bwd_body(c, dict(zip(names + out_names, refs)))
+
+    res = pl.pallas_call(
+        body,
+        grid=(n_tiles // g_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=_cost(c, npad, ep, 16 + 2 * has_gate),
+        compiler_params=pltpu.CompilerParams(
+            # weight-grad accumulators with constant index maps need the
+            # sequential (arbitrary) grid — no PARALLEL here
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_should_interpret(),
+    )(*arrays)
+    dx, de_g, gwq, gwe, gwo, gwoe = res
+    return (dx, de_g,
+            gwq[:din].astype(wq.dtype), gwq[din].astype(bq.dtype),
+            gwe[:de].astype(we.dtype), gwe[de].astype(be.dtype),
+            gwo[:hidden * len(aggs)].astype(wo.dtype),
+            gwo[hidden * len(aggs)].astype(bo.dtype),
+            gwoe[:hidden].astype(woe.dtype),
+            gwoe[hidden].astype(boe.dtype),
+            jnp.zeros_like(bits), jnp.zeros_like(src),
+            jnp.zeros_like(dst))
+
+
+_proj_core.defvjp(_proj_core_fwd, _proj_core_bwd)
+
+
+def gt_attention_tile_proj(
+    x: jnp.ndarray,              # [Np, Din] residual node stream
+    e: jnp.ndarray,              # [Ep, De] residual edge stream
+    w_qkvg: jnp.ndarray,         # [Din, (3+gate)·hidden] (norm folded)
+    b_qkvg: jnp.ndarray,         # [(3+gate)·hidden] f32
+    w_eall: jnp.ndarray,         # [De, hidden+(1+gate)·H] (norm folded
+                                 #  into the WE_value columns)
+    b_eall: jnp.ndarray,
+    w_o: jnp.ndarray,            # [A·hidden, Din], rows ALREADY permuted
+                                 #  to the kernel's [a][h][d] layout
+    b_o: jnp.ndarray,
+    w_oe: jnp.ndarray,           # [hidden, De]
+    b_oe: jnp.ndarray,
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    num_heads: int,
+    hidden_dim: int,
+    tile_edges: int,
+    has_gate: bool = False,
+    aggregators: Sequence[str] = ("sum",),
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    tiles_per_step: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v5 projection-fused attention block (see the v5 banner above).
+    Returns (attn_out [Np, Din] — WO output, pre-dropout/residual;
+    e_attn [Ep, De] — WOe output, pre-dropout/residual)."""
+    npad, din = x.shape
+    ep, de = e.shape
+    if npad % NT != 0 or ep % tile_edges != 0 \
+            or npad // NT != ep // tile_edges:
+        raise ValueError(
+            f"batch is not tile-packed for tile_edges={tile_edges}: "
+            f"Np={npad}, Ep={ep}")
+    aggs = tuple("sum" if a == "add" else a for a in aggregators)
+    unsupported = [a for a in aggs if a not in ("sum", "mean")]
+    if unsupported:
+        raise NotImplementedError(
+            f"gt_attention_tile_proj supports sum/mean aggregators, got "
+            f"{unsupported}")
+
+    heads = num_heads
+    dh = hidden_dim // heads
+    g_fwd = _pick_tiles_per_step(npad // NT, int(tiles_per_step))
+    g_bwd = _pick_tiles_per_step(npad // NT,
+                                 max(1, int(tiles_per_step) // 2))
+
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_rng is not None:
+        bits = jax.random.bits(dropout_rng, (ep, heads), jnp.uint32)
+    else:
+        rate = 0.0
+        bits = jnp.zeros((1,), jnp.uint32)
+
+    cfg = (heads, dh, int(tile_edges), aggs, bool(has_gate), True,
+           rate, g_fwd, g_bwd, din, de)
+    return _proj_core(
+        cfg, x, e, w_qkvg, b_qkvg.astype(_F32),
+        w_eall, b_eall.astype(_F32), w_o, b_o.astype(_F32),
+        w_oe, b_oe.astype(_F32), bits,
+        edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32))
 
 
 def gt_attention_tile_merged(

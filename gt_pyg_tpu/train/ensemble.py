@@ -85,11 +85,34 @@ class VmapEnsembleTrainer:
 
     # ---- state ----
     def init_states(self, sample_batch) -> Dict[str, Any]:
-        """Stacked member states: every leaf gains a leading [M] axis."""
-        states = [self.inner.init_state(sample_batch,
-                                        rng=jax.random.PRNGKey(s))
-                  for s in self.seeds]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        """Stacked member states: every leaf gains a leading [M] axis.
+
+        The M member inits, optimizer zeros, AND the PRNG seeding all run
+        on the host CPU backend, and the stacked tree transfers to the
+        accelerator in one device_put per leaf: eager ops on a tunnelled
+        accelerator each cost a remote round trip, and the per-member
+        ``jax.random.PRNGKey`` alone was observed to stall a production
+        launch for 40+ minutes on axon (round-4 root cause)."""
+        from .trainer import host_cpu_device
+
+        cpu = host_cpu_device()
+
+        def build():
+            states = []
+            for s in self.seeds:
+                rng = jax.random.PRNGKey(s)
+                states.append(self.inner.init_state(
+                    sample_batch, rng=rng, on_host=cpu is not None))
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                          *states)
+
+        if cpu is not None:
+            with jax.default_device(cpu):
+                stacked = build()
+            dev = jax.devices()[0]
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, dev), stacked)
+        return build()
 
     def member_state(self, states, i: int) -> Dict[str, Any]:
         """Fetch one member's {params, batch_stats} as host numpy."""

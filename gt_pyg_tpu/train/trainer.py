@@ -95,7 +95,17 @@ class TrainState(dict):
     """Lightweight state pytree: params / batch_stats / opt_state / step."""
 
 
-def init_on_host(model, sample_batch, rng):
+def host_cpu_device():
+    """The host CPU device when the process exposes one NEXT TO an
+    accelerator backend (``jax_platforms="axon,cpu"``), else None."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+    return cpu if jax.default_backend() != "cpu" else None
+
+
+def init_on_host(model, sample_batch, rng, to_device: bool = True):
     """``model.init`` on the host CPU backend when available.
 
     Un-jitted initialization executes op-by-op; on remote/tunnelled TPU
@@ -104,6 +114,10 @@ def init_on_host(model, sample_batch, rng):
     expose a cpu backend alongside the accelerator (e.g.
     ``jax_platforms="axon,cpu"``); falls back to the default device.
 
+    ``to_device=False`` leaves the variables on the host — callers that
+    post-process them (e.g. the vmapped ensemble stacking M member
+    states) transfer once at the end instead of per member.
+
     Parameter structure is identical across attention impls, so init
     always runs the lax path — Pallas kernels cannot lower for the CPU
     backend used here."""
@@ -111,14 +125,14 @@ def init_on_host(model, sample_batch, rng):
         model = model.clone(attn_impl="lax")
     if getattr(model, "ffn_impl", "xla") != "xla":
         model = model.clone(ffn_impl="xla")
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    if cpu is not None and jax.default_backend() != "cpu":
+    cpu = host_cpu_device()
+    if cpu is not None:
         with jax.default_device(cpu):
+            rng = jax.device_put(rng, cpu)
             variables = model.init({"params": rng}, sample_batch,
                                    deterministic=True)
+        if not to_device:
+            return variables
         dev = jax.devices()[0]
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, dev), variables)
@@ -182,7 +196,15 @@ class Trainer:
                     getattr(model, "bn_axis_name", None))
 
     # ---- state ----
-    def init_state(self, sample_batch: GraphBatch, rng=None):
+    def init_state(self, sample_batch: GraphBatch, rng=None,
+                   on_host: bool = False):
+        """``on_host=True`` keeps every leaf on the host CPU backend
+        (PRNG seeding, init, optimizer zeros) — callers that post-process
+        the state (vmapped ensemble stacking) transfer once at the end.
+        Eager ops on a tunnelled accelerator each cost a remote round
+        trip (observed to stall for tens of minutes on axon), so nothing
+        here may dispatch to the default device when a host CPU backend
+        exists."""
         from ..data.graph import check_batch_limits
 
         try:
@@ -192,13 +214,27 @@ class Trainer:
                                        128))
         except TypeError:
             pass  # already-traced batch; caller validated host-side
-        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
-        variables = init_on_host(self.model, sample_batch, rng)
+        cpu = host_cpu_device()
+        if rng is None:
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    rng = jax.random.PRNGKey(self.cfg.seed)
+            else:
+                rng = jax.random.PRNGKey(self.cfg.seed)
+        variables = init_on_host(self.model, sample_batch, rng,
+                                 to_device=not (on_host and
+                                                cpu is not None))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = self.tx.init(params)
+        if on_host and cpu is not None:
+            with jax.default_device(cpu):
+                opt_state = self.tx.init(params)
+                step = jnp.asarray(0, jnp.int32)
+        else:
+            opt_state = self.tx.init(params)
+            step = jnp.asarray(0, jnp.int32)
         return {"params": params, "batch_stats": batch_stats,
-                "opt_state": opt_state, "step": jnp.asarray(0, jnp.int32)}
+                "opt_state": opt_state, "step": step}
 
     def restore_state(self, sample_batch: GraphBatch, ckpt_path):
         """Resume training state (params + batch_stats + optimizer) from a
