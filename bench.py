@@ -305,6 +305,11 @@ def measure(args, batch_graphs):
         "gelu_mode": os.environ.get("GT_TPU_GELU", "(default)"),
         "ffn_blocks": {"rb": os.environ.get("GT_TPU_FFN_RB", "(auto)"),
                        "g": os.environ.get("GT_TPU_FFN_G", "(auto)")},
+        "proj_fuse": os.environ.get("GT_TPU_PROJ", "auto"),
+        "shift_gather": os.environ.get("GT_TPU_SHIFT", "matmul"),
+        "ffn_prng": os.environ.get("GT_TPU_FFN_PRNG", "auto"),
+        "ffn_act16": os.environ.get("GT_TPU_FFN_ACT16", "1"),
+        "tiles_g": os.environ.get("GT_TPU_TILES_G", "8"),
         "compile_s": round(t_compile, 1),
         "loss_first": loss_first,
         "loss_last": float(traj[-1]),

@@ -93,79 +93,112 @@ def _resolve_act(act: str):
     return resolve_activation(act)
 
 
-def _apply_mask(x, mask_ref, thresh, row_sl, training):
-    """x * (mask<thresh)/keep_q in f32; identity when not training."""
-    if not training:
-        return x
+def _get_mask(cfg, refs, draw, row_sl, abs_block, shape):
+    """Boolean keep-mask for one dropout draw of one row block.
+
+    bytes mode: loads the precomputed u8 mask rows (compare in i32 —
+    Mosaic has no i8 vector cmpi lowering on v5e; interpret mode accepts
+    it, hardware compile fails).
+
+    kernel mode (GT_TPU_FFN_PRNG, TPU only): seeds the core's hardware
+    PRNG from (key words, draw, absolute block id) and generates the
+    bits in VMEM — mask placement is a pure function of the absolute row
+    block, so the backward regenerates the identical mask as long as it
+    runs the same row blocking (fused_ffn pins fwd rb == bwd rb in this
+    mode). Removes the XLA rng-bit-generator pass (~1.1 ms/step) and
+    ~2 GB/step of u8 mask HBM traffic on the flagship batch."""
+    thresh = cfg[4] if draw < 2 else cfg[5]
+    if cfg[10]:                       # kprng
+        seed = refs["seeds"]
+        pltpu.prng_seed(seed[0, 0], seed[0, 1], seed[0, 2], seed[0, 3],
+                        draw, abs_block)
+        bits = pltpu.prng_random_bits(shape)
+        return (bits.astype(jnp.int32) & 255) < thresh
+    name = {0: "m0", 1: "m1", 2: "m3"}[draw]
+    return refs[name][row_sl].astype(jnp.int32) < thresh
+
+
+def _mul_mask(x, mask, thresh):
+    """x * mask / keep_q in the input's dtype-family."""
     keep_q = thresh / 256.0
-    # Compare in i32: Mosaic has no i8 vector cmpi lowering on v5e
-    # (interpret mode accepts it, hardware compile fails).
-    m = mask_ref[row_sl].astype(jnp.int32) < thresh
-    return jnp.where(m, x * (1.0 / keep_q), 0.0)
+    return jnp.where(mask, x * (1.0 / keep_q), 0.0)
+
+
+def _act16():
+    """Run the activation (and its jvp) on bf16 vectors: the VPU
+    processes 2x the lanes per cycle, and the activation output feeds a
+    bf16 matmul operand anyway, so the only extra rounding is inside the
+    transcendental — measured as the FFN kernels' second-largest cost
+    tier after the matmuls. Opt-out knob (GT_TPU_FFN_ACT16=0) for A/B;
+    f32 compute (golden parity) never takes this path."""
+    import os
+
+    return os.environ.get("GT_TPU_FFN_ACT16", "1") == "1"
+
+
+def _act_apply(act_fn, z, md):
+    if md == jnp.bfloat16 and _act16():
+        return act_fn(z.astype(jnp.bfloat16)).astype(_F32)
+    return act_fn(z)
 
 
 # cfg: (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
-#       same_x) — same_x=True means the residual stream IS the kernel
-#       input (norm folded into W0 by the caller): one row-block input
-#       instead of two, halving the forward's activation reads.
+#       same_x, kprng) — same_x=True means the residual stream IS the
+#       kernel input (norm folded into W0 by the caller): one row-block
+#       input instead of two, halving the forward's activation reads;
+#       kprng=True generates dropout masks with the in-core hardware
+#       PRNG instead of loading precomputed bytes (see _get_mask).
 def _fwd_body(cfg, refs):
     (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
-     same_x) = cfg
+     same_x, kprng) = cfg
     act_fn = _resolve_act(act)
-    i = iter(refs)
-    xn_ref = next(i)
-    xres_ref = xn_ref if same_x else next(i)
-    w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref = (
-        next(i), next(i), next(i), next(i), next(i), next(i))
-    if training:
-        m0_ref, m1_ref, m3_ref = next(i), next(i), next(i)
-    out_ref = next(i)
+    xn_ref = refs["xn"]
+    xres_ref = xn_ref if same_x else refs["xres"]
+    out_ref = refs["out"]
 
-    w0, w1, w2 = w0_ref[:], w1_ref[:], w2_ref[:]
-    b0 = b0_ref[:].astype(_F32)
-    b1 = b1_ref[:].astype(_F32)
-    b2 = b2_ref[:].astype(_F32)
+    w0, w1, w2 = refs["w0"][:], refs["w1"][:], refs["w2"][:]
+    b0 = refs["b0"][:].astype(_F32)
+    b1 = refs["b1"][:].astype(_F32)
+    b2 = refs["b2"][:].astype(_F32)
 
     for g in range(g_rows):
         sl = pl.ds(g * rb, rb)
+        ab = pl.program_id(0) * g_rows + g
         xn = xn_ref[sl]
+        md = xn.dtype
         z0 = jax.lax.dot(xn, w0, preferred_element_type=_F32) + b0
-        h0 = act_fn(z0)
+        h0 = _act_apply(act_fn, z0, md)
         if training:
-            h0 = _apply_mask(h0, m0_ref, thresh, sl, training)
+            h0 = _mul_mask(h0, _get_mask(cfg, refs, 0, sl, ab, (rb, h)),
+                           thresh)
         h0 = h0.astype(xn.dtype)
         z1 = jax.lax.dot(h0, w1, preferred_element_type=_F32) + b1
-        h1 = act_fn(z1)
+        h1 = _act_apply(act_fn, z1, md)
         if training:
-            h1 = _apply_mask(h1, m1_ref, thresh, sl, training)
+            h1 = _mul_mask(h1, _get_mask(cfg, refs, 1, sl, ab, (rb, h)),
+                           thresh)
         h1 = h1.astype(xn.dtype)
         y = jax.lax.dot(h1, w2, preferred_element_type=_F32) + b2
         if training:
-            y = _apply_mask(y, m3_ref, out_thresh, sl, training)
+            y = _mul_mask(y, _get_mask(cfg, refs, 2, sl, ab, (rb, dout)),
+                          out_thresh)
         out_ref[sl] = (xres_ref[sl].astype(_F32)
                        + y).astype(out_ref.dtype)
 
 
 def _bwd_body(cfg, refs):
     (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
-     same_x) = cfg
+     same_x, kprng) = cfg
     act_fn = _resolve_act(act)
-    i = iter(refs)
-    xn_ref = next(i)
-    if not same_x:
-        next(i)          # xres slot (unused by the backward)
-    w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref = (
-        next(i), next(i), next(i), next(i), next(i), next(i))
-    if training:
-        m0_ref, m1_ref, m3_ref = next(i), next(i), next(i)
-    g_out_ref = next(i)
-    gxn_ref = next(i)
-    gw0_ref, gw1_ref, gw2_ref = next(i), next(i), next(i)
+    xn_ref = refs["xn"]
+    g_out_ref = refs["g_out"]
+    gxn_ref = refs["gxn"]
+    gw0_ref, gw1_ref, gw2_ref = refs["gw0"], refs["gw1"], refs["gw2"]
 
-    w0, w1, w2 = w0_ref[:], w1_ref[:], w2_ref[:]
-    b0 = b0_ref[:].astype(_F32)
-    b1 = b1_ref[:].astype(_F32)
-    b2 = b2_ref[:].astype(_F32)
+    w0, w1, w2 = refs["w0"][:], refs["w1"][:], refs["w2"][:]
+    b0 = refs["b0"][:].astype(_F32)
+    b1 = refs["b1"][:].astype(_F32)
+    b2 = refs["b2"][:].astype(_F32)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -175,30 +208,41 @@ def _bwd_body(cfg, refs):
 
     for g in range(g_rows):
         sl = pl.ds(g * rb, rb)
+        ab = pl.program_id(0) * g_rows + g
         xn = xn_ref[sl]
         md = xn.dtype
+        if training:
+            # one generation/load per draw, reused at both mask sites
+            mb0 = _get_mask(cfg, refs, 0, sl, ab, (rb, h))
+            mb1 = _get_mask(cfg, refs, 1, sl, ab, (rb, h))
+            mb3 = _get_mask(cfg, refs, 2, sl, ab, (rb, dout))
         # ---- recompute forward chain (keeps pre-act z for act')
         z0 = jax.lax.dot(xn, w0, preferred_element_type=_F32) + b0
 
         def act_bwd(z, g_after):
-            """act'(z) ⊙ g_after via jvp (exact for erf-gelu etc.)."""
+            """act'(z) ⊙ g_after via jvp (exact for erf-gelu etc.);
+            bf16 under act16 — consistent with the recompute."""
+            if md == jnp.bfloat16 and _act16():
+                _, t = jax.jvp(act_fn, (z.astype(jnp.bfloat16),),
+                               (g_after.astype(jnp.bfloat16),))
+                return t.astype(_F32)
             _, t = jax.jvp(act_fn, (z,), (g_after,))
             return t
 
-        h0 = act_fn(z0)
+        h0 = _act_apply(act_fn, z0, md)
         if training:
-            h0 = _apply_mask(h0, m0_ref, thresh, sl, training)
+            h0 = _mul_mask(h0, mb0, thresh)
         h0 = h0.astype(md)
         z1 = jax.lax.dot(h0, w1, preferred_element_type=_F32) + b1
-        h1 = act_fn(z1)
+        h1 = _act_apply(act_fn, z1, md)
         if training:
-            h1 = _apply_mask(h1, m1_ref, thresh, sl, training)
+            h1 = _mul_mask(h1, mb1, thresh)
         h1 = h1.astype(md)
 
         # ---- reverse
         g_y = g_out_ref[sl].astype(_F32)
         if training:
-            g_y = _apply_mask(g_y, m3_ref, out_thresh, sl, training)
+            g_y = _mul_mask(g_y, mb3, out_thresh)
         g_y = g_y.astype(md)
         # dW2 rows: [H, Dout] = h1ᵀ g_y ; bias rides as an extra row via
         # the ones column trick is unnecessary — accumulate separately
@@ -211,7 +255,7 @@ def _bwd_body(cfg, refs):
             g_y, w2, (((1,), (1,)), ((), ())),
             preferred_element_type=_F32)
         if training:
-            g_h1 = _apply_mask(g_h1, m1_ref, thresh, sl, training)
+            g_h1 = _mul_mask(g_h1, mb1, thresh)
         g_z1 = act_bwd(z1, g_h1).astype(md)
         gw1_ref[:h, :] += jax.lax.dot_general(
             h0, g_z1, (((0,), (0,)), ((), ())),
@@ -222,7 +266,7 @@ def _bwd_body(cfg, refs):
             g_z1, w1, (((1,), (1,)), ((), ())),
             preferred_element_type=_F32)
         if training:
-            g_h0 = _apply_mask(g_h0, m0_ref, thresh, sl, training)
+            g_h0 = _mul_mask(g_h0, mb0, thresh)
         g_z0 = act_bwd(z0, g_h0).astype(md)
         gw0_ref[:din, :] += jax.lax.dot_general(
             xn, g_z0, (((0,), (0,)), ((), ())),
@@ -245,9 +289,11 @@ def _full_block(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _collect(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
+def _collect(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3, seeds):
     din, h, dout = cfg[0], cfg[1], cfg[2]
-    training, same_x = cfg[6], cfg[9]
+    training, same_x, kprng = cfg[6], cfg[9], cfg[10]
+    names = ["xn"] + ([] if same_x else ["xres"]) + [
+        "w0", "b0", "w1", "b1", "w2", "b2"]
     arrays = [xn] + ([] if same_x else [xres]) + [
         w0, b0.reshape(1, -1), w1, b1.reshape(1, -1),
         w2, b2.reshape(1, -1)]
@@ -256,11 +302,17 @@ def _collect(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
         _full_block((din, h)), _full_block((1, h)),
         _full_block((h, h)), _full_block((1, h)),
         _full_block((h, dout)), _full_block((1, dout))]
-    if training:
+    if training and kprng:
+        names.append("seeds")
+        arrays.append(seeds)
+        specs.append(pl.BlockSpec((1, 4), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM))
+    elif training:
+        names += ["m0", "m1", "m3"]
         arrays += [m0, m1, m3]
         specs += [_row_block(cfg, h), _row_block(cfg, h),
                   _row_block(cfg, dout)]
-    return arrays, specs
+    return names, arrays, specs
 
 
 def _pick_rows(n_rows: int, want: int, rb: int) -> int:
@@ -271,14 +323,19 @@ def _pick_rows(n_rows: int, want: int, rb: int) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
+def _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3, seeds):
     (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
-     same_x) = cfg
+     same_x, kprng) = cfg
     R = xn.shape[0]
-    arrays, in_specs = _collect(cfg, xn, xres, w0, b0, w1, b1, w2, b2,
-                                m0, m1, m3)
+    names, arrays, in_specs = _collect(cfg, xn, xres, w0, b0, w1, b1,
+                                       w2, b2, m0, m1, m3, seeds)
+    names = names + ["out"]
+
+    def body(*refs):
+        _fwd_body(cfg, dict(zip(names, refs)))
+
     out = pl.pallas_call(
-        functools.partial(lambda c, *refs: _fwd_body(c, refs), cfg),
+        body,
         grid=(R // (rb * g_rows),),
         in_specs=in_specs,
         out_specs=_row_block(cfg, dout),
@@ -296,29 +353,37 @@ def _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
     return out
 
 
-def _ffn_fwd(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3):
-    out = _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3)
-    return out, (xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3)
+def _ffn_fwd(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3, seeds):
+    out = _ffn_core(cfg, xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3,
+                    seeds)
+    return out, (xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3, seeds)
 
 
 def _ffn_bwd(cfg, res, g_out):
     (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
-     same_x) = cfg
-    xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3 = res
+     same_x, kprng) = cfg
+    xn, xres, w0, b0, w1, b1, w2, b2, m0, m1, m3, seeds = res
     R = xn.shape[0]
-    # The backward keeps ~3x the forward's f32 intermediates live per
-    # row block (recompute + grads); halve the row block to stay inside
-    # scoped VMEM on v5e.
-    rb = max(16, rb // 2)
-    while rb >= 16 and R % rb:
-        rb //= 2
-    g_rows = _pick_rows(R, g_rows, rb)
+    if not kprng:
+        # The backward keeps ~3x the forward's f32 intermediates live
+        # per row block (recompute + grads); halve the row block to stay
+        # inside scoped VMEM on v5e. (kprng mode pins fwd rb == bwd rb
+        # instead — mask placement is a function of the row BLOCK, so
+        # both directions must run the same blocking.)
+        rb = max(16, rb // 2)
+        while rb >= 16 and R % rb:
+            rb //= 2
+        g_rows = _pick_rows(R, g_rows, rb)
     cfg = (din, h, dout, act, thresh, out_thresh, training, rb, g_rows,
-           same_x)
+           same_x, kprng)
     # xres is not needed by the backward (g_xres = g_out): pass a dummy
     # row-block input of the right shape to reuse _collect
-    arrays, in_specs = _collect(cfg, xn, g_out, w0, b0, w1, b1, w2, b2,
-                                m0, m1, m3)
+    names, arrays, in_specs = _collect(cfg, xn, g_out, w0, b0, w1, b1,
+                                       w2, b2, m0, m1, m3, seeds)
+    if same_x:
+        # no xres slot was emitted; the backward needs g_out separately
+        pass
+    names = names + ["g_out"]
     arrays.append(g_out)
     in_specs.append(_row_block(cfg, dout))
 
@@ -334,8 +399,13 @@ def _ffn_bwd(cfg, res, g_out):
         _full_block((h + 1, h)),
         _full_block((h + 1, dout)),
     ]
+    names = names + ["gxn", "gw0", "gw1", "gw2"]
+
+    def body(*refs):
+        _bwd_body(cfg, dict(zip(names, refs)))
+
     res_out = pl.pallas_call(
-        functools.partial(lambda c, *refs: _bwd_body(c, refs), cfg),
+        body,
         grid=(R // (rb * g_rows),),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -360,7 +430,8 @@ def _ffn_bwd(cfg, res, g_out):
             gw0[:din].astype(w0.dtype), gw0[din].astype(b0.dtype),
             gw1[:h].astype(w1.dtype), gw1[h].astype(b1.dtype),
             gw2[:h].astype(w2.dtype), gw2[h].astype(b2.dtype),
-            jnp.zeros_like(m0), jnp.zeros_like(m1), jnp.zeros_like(m3))
+            jnp.zeros_like(m0), jnp.zeros_like(m1), jnp.zeros_like(m3),
+            jnp.zeros_like(seeds))
 
 
 _ffn_core.defvjp(_ffn_fwd, _ffn_bwd)
@@ -405,7 +476,18 @@ def fused_ffn(
             and os.environ.get("GT_TPU_GELU", "tanh").lower() == "tanh":
         act = "gelu_tanh"   # see _gelu_tanh: bf16-exactness-free speedup
 
+    # kprng: generate dropout masks with the in-core hardware PRNG (TPU
+    # only — no CPU/interpret lowering). Placement is a function of the
+    # absolute row block, so fwd and bwd must share one blocking: the
+    # forward runs at the backward's (halved) row block.
+    prng_mode = os.environ.get("GT_TPU_FFN_PRNG", "auto").lower()
+    kprng = training and (prng_mode == "kernel"
+                          or (prng_mode == "auto"
+                              and not _should_interpret()))
+
     rb = rows_per_block
+    if kprng:
+        rb = max(16, rb // 2)
     while rb >= 16 and R % rb:
         rb //= 2
     if R % rb or rb < 16:
@@ -414,20 +496,27 @@ def fused_ffn(
             f"(<= {rows_per_block}); pad rows to a multiple of 16")
     g_rows = _pick_rows(R, blocks_per_step, rb)
     cfg = (din, h, dout, act, thresh, thresh, training, rb, g_rows,
-           same_x)
+           same_x, kprng)
 
     cdtype = xn.dtype
     w0c, w1c, w2c = (w.astype(cdtype) for w in (w0, w1, w2))
-    if training:
+    zu = jnp.zeros((1,), jnp.uint8)
+    m0 = m1 = m3 = zu
+    seeds = jnp.zeros((1, 4), jnp.int32)
+    if training and kprng:
+        try:
+            kd = jax.random.key_data(dropout_rng).reshape(-1)
+        except Exception:       # raw uint32 key array (old-style)
+            kd = jnp.asarray(dropout_rng).reshape(-1)
+        kd = jnp.pad(kd.astype(jnp.uint32), (0, max(0, 4 - kd.shape[0])))
+        seeds = kd[:4].astype(jnp.int32).reshape(1, 4)
+    elif training:
         k0, k1, k2 = jax.random.split(dropout_rng, 3)
         m0 = jax.random.bits(k0, (R, h), dtype=jnp.uint8)
         m1 = jax.random.bits(k1, (R, h), dtype=jnp.uint8)
         m3 = jax.random.bits(k2, (R, dout), dtype=jnp.uint8)
-    else:
-        zu = jnp.zeros((1,), jnp.uint8)
-        m0 = m1 = m3 = zu
     xres_in = (jnp.zeros((1,), cdtype) if same_x
                else xres.astype(cdtype))
     return _ffn_core(cfg, xn, xres_in, w0c,
                      b0.astype(_F32), w1c, b1.astype(_F32), w2c,
-                     b2.astype(_F32), m0, m1, m3)
+                     b2.astype(_F32), m0, m1, m3, seeds)

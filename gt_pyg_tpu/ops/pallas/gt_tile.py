@@ -245,17 +245,15 @@ def _dot_gather_shift(sd, vals_t, md):
     |logit| ≳ 1e6·88 — far beyond trained scales. Single-pass bf16 would
     NOT be safe (0.4% of a 1e5-scale shift ≈ e^400 overflow), so this
     site ignores GT_TPU_SOFT_PREC=default."""
-    dn = (((1,), (1,)), ((), ()))
+    vals = vals_t.T                             # [NT, H]
     if md != jnp.bfloat16:
-        return jax.lax.dot_general(sd, vals_t, dn,
-                                   preferred_element_type=_F32,
-                                   precision=jax.lax.Precision.HIGHEST)
-    hi = vals_t.astype(jnp.bfloat16)
-    lo = (vals_t - hi.astype(_F32)).astype(jnp.bfloat16)
+        return jax.lax.dot(sd, vals, preferred_element_type=_F32,
+                           precision=jax.lax.Precision.HIGHEST)
+    hi = vals.astype(jnp.bfloat16)
+    lo = (vals - hi.astype(_F32)).astype(jnp.bfloat16)
     sdb = sd.astype(jnp.bfloat16)
-    return (jax.lax.dot_general(sdb, hi, dn, preferred_element_type=_F32)
-            + jax.lax.dot_general(sdb, lo, dn,
-                                  preferred_element_type=_F32))
+    return (jax.lax.dot(sdb, hi, preferred_element_type=_F32)
+            + jax.lax.dot(sdb, lo, preferred_element_type=_F32))
 
 
 def _dot_logits(a, b):
@@ -600,6 +598,16 @@ def _cost(cfg, npad, ep, n_big_matmuls):
     )
 
 
+def _resolve_tiles_g(tiles_per_step):
+    """Default fwd tiles-per-grid-step (bwd uses half): 8 unless the
+    GT_TPU_TILES_G env knob overrides (sweepable without model args)."""
+    import os
+
+    if tiles_per_step is not None:
+        return int(tiles_per_step)
+    return int(os.environ.get("GT_TPU_TILES_G", 8))
+
+
 def _pick_tiles_per_step(n_tiles: int, want: int) -> int:
     """Largest divisor of n_tiles that is <= want (grid length must be
     integral; packing rounds tile counts to ``tiles_multiple`` so the
@@ -874,8 +882,11 @@ def _dot_mixed(a_f32, b, md, dn=None):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-_DN_T = (((1,), (1,)), ((), ()))     # contract both operands' dim 1
-_DN_ROWS = (((0,), (0,)), ((), ()))  # contract both operands' dim 0
+# aᵀ @ b (contract both operands' dim 0) — the FFN kernel's proven
+# weight-grad pattern on hardware Mosaic. Transposed-RHS contractions
+# (a @ bᵀ) instead use an explicit .T on the (small, loop-invariant)
+# weight value, matching the shipped kernels' S_m.T idiom.
+_DN_ROWS = (((0,), (0,)), ((), ()))
 
 
 def _proj_bwd_body(cfg, refs):
@@ -906,8 +917,8 @@ def _proj_bwd_body(cfg, refs):
         # ---- WO backward: g_out = g_attn @ WOᵀ; dWO += outᵀ g_attn
         g_attn = refs["g_attn_out"][nn_].astype(md)       # [NT, din]
         w_o = refs["w_o"][:]
-        g_out_full = jax.lax.dot_general(
-            g_attn, w_o.astype(md), _DN_T,
+        g_out_full = jax.lax.dot(
+            g_attn, w_o.astype(md).T,
             preferred_element_type=_F32)                  # [NT, A·hidden]
         # v4 stored `out` in bf16 HBM before XLA's dWO matmul — the
         # md-cast single-pass here matches that status quo
@@ -921,8 +932,8 @@ def _proj_bwd_body(cfg, refs):
         # ---- WOe backward: g_eij = g_e_attn @ WOeᵀ; dWOe += eijᵀ g
         g_e_attn = refs["g_e_attn"][en].astype(md)        # [TE, de]
         w_oe = refs["w_oe"][:]
-        g_eij = jax.lax.dot_general(
-            g_e_attn, w_oe.astype(md), _DN_T,
+        g_eij = jax.lax.dot(
+            g_e_attn, w_oe.astype(md).T,
             preferred_element_type=_F32)                  # [TE, hidden]
         eij = t["prod"] * t["e_val"]                      # v4: bf16 HBM
         refs["gw_oe"][:hidden, :] += jax.lax.dot_general(
@@ -1001,8 +1012,8 @@ def _proj_bwd_body(cfg, refs):
         w_qkvg = refs["w_qkvg"][:]
         # dqkvg was STORED bf16 by v4 before the XLA dx matmul — the
         # bf16 single-pass here matches that status quo bit-for-bit
-        refs["dx"][nn_] = jax.lax.dot_general(
-            dqkvg.astype(md), w_qkvg.astype(md), _DN_T,
+        refs["dx"][nn_] = jax.lax.dot(
+            dqkvg.astype(md), w_qkvg.astype(md).T,
             preferred_element_type=_F32).astype(refs["dx"].dtype)
         refs["gw_qkvg"][:din, :] += jax.lax.dot_general(
             x_t, dqkvg.astype(md), _DN_ROWS,
@@ -1010,8 +1021,8 @@ def _proj_bwd_body(cfg, refs):
         refs["gw_qkvg"][din:, :] += jnp.sum(dqkvg, axis=0, keepdims=True)
 
         w_eall = refs["w_eall"][:]
-        refs["de"][en] = _dot_mixed(de_all, w_eall, md,
-                                    _DN_T).astype(refs["de"].dtype)
+        refs["de"][en] = _dot_mixed(
+            de_all, w_eall.T, md).astype(refs["de"].dtype)
         # dW_eall = eᵀ @ de_all with de_all f32: split2 keeps the f32
         # de_all fidelity v4 had (it stored de_all f32 for XLA)
         if md == jnp.bfloat16:
@@ -1220,7 +1231,7 @@ def gt_attention_tile_proj(
     aggregators: Sequence[str] = ("sum",),
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    tiles_per_step: int = 8,
+    tiles_per_step: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v5 projection-fused attention block (see the v5 banner above).
     Returns (attn_out [Np, Din] — WO output, pre-dropout/residual;
@@ -1241,6 +1252,7 @@ def gt_attention_tile_proj(
 
     heads = num_heads
     dh = hidden_dim // heads
+    tiles_per_step = _resolve_tiles_g(tiles_per_step)
     g_fwd = _pick_tiles_per_step(npad // NT, int(tiles_per_step))
     g_bwd = _pick_tiles_per_step(npad // NT,
                                  max(1, int(tiles_per_step) // 2))
@@ -1274,7 +1286,7 @@ def gt_attention_tile_merged(
     aggregators: Sequence[str] = ("sum",),
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    tiles_per_step: int = 8,
+    tiles_per_step: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Merged-operand tile attention (the production entry point; see
     module docstring). Returns (node_out [Np, hidden*A] in
@@ -1304,6 +1316,7 @@ def gt_attention_tile_merged(
     heads = num_heads
     dh = hidden_dim // heads
     has_edge = e_all is not None
+    tiles_per_step = _resolve_tiles_g(tiles_per_step)
     g_fwd = _pick_tiles_per_step(npad // NT, int(tiles_per_step))
     g_bwd = _pick_tiles_per_step(npad // NT,
                                  max(1, int(tiles_per_step) // 2))
@@ -1339,7 +1352,7 @@ def gt_attention_tile(
     aggregators: Sequence[str] = ("sum",),
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    tiles_per_step: int = 8,
+    tiles_per_step: Optional[int] = None,
     raw_layout: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Separate-operand wrapper over :func:`gt_attention_tile_merged`
