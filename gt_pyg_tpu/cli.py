@@ -185,6 +185,7 @@ def cmd_train(args) -> int:
         tile_edges=(args.tile_edges if args.attn_impl == "tile"
                     else None),
         mesh_devices=mesh_n,
+        keep_top_k=max(1, args.avg_top_k),
     )
     trainer = Trainer(model, cfg)
 
@@ -295,6 +296,32 @@ def cmd_train(args) -> int:
                 "batch_stats": result["state"]["batch_stats"]},
         out / "last.ckpt", epoch=args.epochs,
         extra={"endpoints": list(endpoints), "prng_impl": args.prng})
+    if args.avg_top_k > 1 and result.get("topk"):
+        # within-run checkpoint averaging (SWA over the best-k states)
+        import jax.numpy as jnp
+
+        from .train.trainer import average_states
+
+        tk = result["topk"]
+        avg_state = average_states([t["state"] for t in tk])
+        va_loss, va_metrics, *_ = trainer.evaluate(
+            {"params": avg_state["params"],
+             "batch_stats": avg_state["batch_stats"],
+             "opt_state": None, "step": 0},
+            va_ds, jnp.asarray(result["task_scale"]))
+        avg_rae = va_metrics["Average"]["RAE"]
+        logger.info("top-%d averaged state: val RAE %.4f (members: %s)",
+                    len(tk), avg_rae,
+                    [(t["epoch"], round(t["val_rae"], 4)) for t in tk])
+        save_model_checkpoint(
+            model, avg_state, out / f"best_avg{len(tk)}.ckpt",
+            best_metric=float(avg_rae),
+            extra={"endpoints": list(endpoints), "prng_impl": args.prng,
+                   "avg_of_epochs": [int(t["epoch"]) for t in tk],
+                   "train_mins": [float(x) for x in result["train_mins"]],
+                   "train_maxs": [float(x) for x in result["train_maxs"]],
+                   "task_scale": [float(x)
+                                  for x in result["task_scale"]]})
     history = result["history"]
     if start_epoch > 1 and (out / "history.json").exists():
         # segmented (--restart-every) runs: merge with prior segments'
@@ -478,6 +505,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", default=None,
                    help="resume training from a checkpoint with optimizer "
                         "state (written by --save-every)")
+    t.add_argument("--avg-top-k", type=int, default=1,
+                   help="track the K best-val states and ALSO save their "
+                        "parameter average as best_avgK.ckpt (within-run "
+                        "checkpoint averaging)")
     t.add_argument("--save-every", type=int, default=0,
                    help="write a resumable checkpoint every N epochs")
     t.add_argument("--restart-every", type=int, default=0,

@@ -57,6 +57,10 @@ class TrainConfig:
     edge_multiple: int = 2048
     eval_every: int = 1
     log_every: int = 5
+    keep_top_k: int = 1                      # track the k best-val-RAE
+                                             # states (k>1 enables
+                                             # within-run checkpoint
+                                             # averaging — average_states)
     zero_var: bool = False                   # sample the Gaussian in training
     tile_edges: Optional[int] = None         # tile-packed batches (fused
                                              # Pallas kernel contract);
@@ -141,6 +145,19 @@ def init_on_host(model, sample_batch, rng, to_device: bool = True):
 
 def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def average_states(states):
+    """Mean of several model states (same pytree structure) — within-run
+    checkpoint averaging over the ``keep_top_k`` best-val states (SWA
+    over the cosine tail; running BN stats average too — they are
+    per-feature moments of the same distribution)."""
+    if len(states) == 1:
+        return states[0]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.mean(jnp.stack([jnp.asarray(x, jnp.float32)
+                                        for x in xs]), axis=0
+                             ).astype(jnp.asarray(xs[0]).dtype), *states)
 
 
 class Trainer:
@@ -656,6 +673,7 @@ class Trainer:
         best = {"val_rae": float("inf"), "state": None, "epoch": 0}
         per_ep_best = {ep: {"nma": float("inf"), "state": None, "epoch": 0}
                        for ep in c.endpoints}
+        topk: List[Dict[str, Any]] = []      # c.keep_top_k best states
         history: List[Dict[str, Any]] = []
 
         last_epoch = min(c.epochs, end_epoch) if end_epoch else c.epochs
@@ -680,6 +698,17 @@ class Trainer:
                                 "params": state["params"],
                                 "batch_stats": state["batch_stats"]}),
                         "epoch": epoch}
+            if c.keep_top_k > 1 and np.isfinite(avg["RAE"]) and (
+                    len(topk) < c.keep_top_k
+                    or avg["RAE"] < topk[-1]["val_rae"]):
+                topk.append({"val_rae": avg["RAE"], "epoch": epoch,
+                             "state": jax.tree_util.tree_map(
+                                 lambda x: x.copy(), {
+                                     "params": state["params"],
+                                     "batch_stats":
+                                         state["batch_stats"]})})
+                topk.sort(key=lambda t: t["val_rae"])
+                del topk[c.keep_top_k:]
 
             for ti, ep in enumerate(c.endpoints):
                 md = val_metrics.get(ep, {})
@@ -708,6 +737,6 @@ class Trainer:
                 cb(epoch, state, history[-1])
 
         return {"state": state, "best": best, "per_endpoint_best": per_ep_best,
-                "history": history,
+                "topk": topk, "history": history,
                 "train_mins": train_mins, "train_maxs": train_maxs,
                 "task_scale": np.asarray(task_scale)}

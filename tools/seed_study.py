@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Multi-seed production-LogD study on the bf16/tile fast path, with
+within-run top-k checkpoint averaging (VERDICT round-3 item 3: beat the
+reference's best single-task LogD test MAE 0.3728±0.0077, or publish an
+honest seed-distribution table).
+
+Per seed: `gt-tpu train --bf16 --attn-impl tile --epochs 2000
+--avg-top-k 3` (the runs/prod_logd_fast2 recipe + averaging), then both
+checkpoints (best.ckpt, best_avg3.ckpt) are evaluated on the held-out
+test CSV (assay log transform, train-range clipping — the reference's
+submission protocol, train_logd.ipynb cell 16) with 1000x bootstrap.
+Also reports val-selected single model, k-seed prediction ensembles, and
+the mean/std across seeds.
+
+Usage: python tools/seed_study.py [--seeds 11,23,37,53,71] [--eval-only]
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TRAIN_CSV = ("/root/reference/examples/data/train-set/"
+             "expansion_log_data_train.csv")
+TEST_CSV = ("/root/reference/examples/data/test-set/"
+            "expansion_data_test_full_lb_flag.csv")
+
+
+def train_seed(seed: int, out_dir: Path, epochs: int) -> None:
+    if (out_dir / "best.ckpt").exists():
+        print(f"seed {seed}: checkpoint exists, skipping train",
+              flush=True)
+        return
+    cmd = [sys.executable, "-m", "gt_pyg_tpu.cli", "train",
+           "--csv", TRAIN_CSV, "--endpoint", "LogD",
+           "--epochs", str(epochs), "--bf16", "--attn-impl", "tile",
+           "--seed", str(seed), "--avg-top-k", "3",
+           "--log-every", "100", "--out", str(out_dir)]
+    print(f"seed {seed}: training -> {out_dir}", flush=True)
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=REPO)
+    if r.returncode != 0:
+        raise RuntimeError(f"seed {seed} training failed rc={r.returncode}")
+    print(f"seed {seed}: trained in {(time.time()-t0)/60:.1f} min",
+          flush=True)
+
+
+def _predict(ckpt: Path, graphs):
+    import jax.numpy as jnp
+
+    from gt_pyg_tpu.checkpoint import load_checkpoint
+    from gt_pyg_tpu.nn import GraphTransformerNet
+    from gt_pyg_tpu.train import Trainer, TrainConfig
+    from flax import serialization
+
+    import jax
+
+    from gt_pyg_tpu.train.trainer import host_cpu_device, init_on_host
+
+    ck = load_checkpoint(ckpt)
+    cfg = ck["model_config"]
+    model = GraphTransformerNet.from_config(cfg, attn_impl="lax",
+                                            dtype=jnp.float32)
+    cpu = host_cpu_device()
+    if cpu is not None:
+        with jax.default_device(cpu):
+            key = jax.random.PRNGKey(0)
+    else:
+        key = jax.random.PRNGKey(0)
+    variables = init_on_host(model, _sample_batch(graphs), key)
+    state = serialization.from_state_dict(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        ck["model_state_dict"])
+    trainer = Trainer(model, TrainConfig(endpoints=("LogD",),
+                                         batch_eval=1024))
+    preds = trainer.predict(state, graphs)
+    extra = ck.get("extra") or {}
+    return preds[:, 0], extra
+
+
+def _sample_batch(graphs):
+    from gt_pyg_tpu.data.loader import iter_batches
+
+    return next(iter_batches(graphs[:8], 8, node_multiple=128,
+                             edge_multiple=256, num_tasks=1))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", default="11,23,37,53,71")
+    p.add_argument("--epochs", type=int, default=2000)
+    p.add_argument("--out", default="runs/seed_study")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--n-boot", type=int, default=1000)
+    args = p.parse_args(argv)
+    seeds = [int(s) for s in args.seeds.split(",")]
+    base = REPO / args.out
+    base.mkdir(parents=True, exist_ok=True)
+
+    if not args.eval_only:
+        for s in seeds:
+            train_seed(s, base / f"s{s}", args.epochs)
+
+    import pandas as pd
+
+    from gt_pyg_tpu.data.datasets import (clip_to_train_range,
+                                          log_transform_assay_data)
+    from gt_pyg_tpu.data.pipeline import get_tensor_data_parallel
+    from gt_pyg_tpu.train.metrics import bootstrap_metrics
+
+    te_df = log_transform_assay_data(pd.read_csv(TEST_CSV))
+    te_df = te_df[np.isfinite(te_df["LogD"].values)].reset_index(drop=True)
+    graphs = get_tensor_data_parallel(te_df["SMILES"].tolist(),
+                                      te_df[["LogD"]].values.tolist(),
+                                      progress=False)
+    y = np.array([g.y[0, 0] for g in graphs])
+
+    rows = {}
+    preds_by_seed = {}
+    for s in seeds:
+        for tag in ("best", "best_avg3"):
+            ckpt = base / f"s{s}" / f"{tag}.ckpt"
+            if not ckpt.exists():
+                continue
+            pred, extra = _predict(ckpt, graphs)
+            lo = extra.get("train_mins", [-np.inf])[0]
+            hi = extra.get("train_maxs", [np.inf])[0]
+            pred = clip_to_train_range(pred[:, None],
+                                       np.array([lo]),
+                                       np.array([hi]))[:, 0]
+            bs = bootstrap_metrics(y, pred, n_boot=args.n_boot)
+            key = f"s{s}/{tag}"
+            rows[key] = {"val_rae_ckpt": None, **bs}
+            from gt_pyg_tpu.checkpoint import get_checkpoint_info
+
+            rows[key]["val_rae_ckpt"] = get_checkpoint_info(ckpt).get(
+                "best_metric")
+            if tag == "best":
+                preds_by_seed[s] = pred
+            print(f"{key}: test MAE {bs['MAE']['mean']:.4f} ± "
+                  f"{bs['MAE']['std']:.4f} (val {rows[key]['val_rae_ckpt']})",
+                  flush=True)
+
+    # seed distribution + ensembles of the best checkpoints
+    maes = [rows[f"s{s}/best"]["MAE"]["mean"] for s in seeds
+            if f"s{s}/best" in rows]
+    if maes:
+        rows["seed_distribution"] = {
+            "n": len(maes), "mean": float(np.mean(maes)),
+            "std": float(np.std(maes)), "min": float(np.min(maes)),
+            "max": float(np.max(maes))}
+    if len(preds_by_seed) >= 2:
+        # val-RAE-ranked ensembles of k best seeds
+        order = sorted(preds_by_seed,
+                       key=lambda s: rows[f"s{s}/best"]["val_rae_ckpt"])
+        for k in range(2, len(order) + 1):
+            ens = np.mean([preds_by_seed[s] for s in order[:k]], axis=0)
+            bs = bootstrap_metrics(y, ens, n_boot=args.n_boot)
+            rows[f"ensemble_top{k}_by_val"] = bs
+            print(f"ensemble top-{k} (seeds {order[:k]}): test MAE "
+                  f"{bs['MAE']['mean']:.4f} ± {bs['MAE']['std']:.4f}",
+                  flush=True)
+
+    with open(base / "summary.json", "w") as f:
+        json.dump(rows, f, indent=1, default=float)
+    print(f"wrote {base/'summary.json'}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
