@@ -97,6 +97,23 @@ class TestTrainerDP:
             state, graphs, ts, epoch=1, rng=jax.random.PRNGKey(0))
         assert np.isfinite(loss)
 
+    def test_dp_with_production_fast_path(self, graphs):
+        """bf16 + norm folding + projection-fused tile kernel (the v5
+        production configuration) under a 4-device DP mesh: the step must
+        run and train (finite decreasing-ish loss), protecting the
+        multi-chip story for the shipped fast path."""
+        import jax.numpy as jnp_
+
+        model = _model(bn_axis_name="data", attn_impl="tile",
+                       norm_fold="on", dtype=jnp_.bfloat16)
+        trainer = Trainer(model, _cfg(mesh_devices=4, tile_edges=96,
+                                      tiles_multiple=1))
+        state = trainer.init_state(_sample(graphs, tile_edges=96))
+        ts = jnp.ones((1,), jnp.float32)
+        state, loss1, _ = trainer.train_epoch(
+            state, graphs, ts, epoch=1, rng=jax.random.PRNGKey(0))
+        assert np.isfinite(loss1)
+
     def test_too_many_devices_raises(self, graphs):
         with pytest.raises(ValueError, match="devices are visible"):
             Trainer(_model(), _cfg(mesh_devices=999))

@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-4 chip work queue — run unattended as soon as the TPU responds.
+# Order: validate kprng -> kernel-variant sweep -> decorrelated ensemble
+# retrain -> seed study. Each stage logs to /tmp/r4_<stage>.log and the
+# queue stops on a stage failure (except the optional kprng check).
+set -u
+cd /root/repo
+Q=/tmp/r4_queue_status.log
+echo "$(date -u +%H:%M:%S) queue start" >> "$Q"
+
+# 1. kprng validation (~3 min). Failure disables kprng for the rest.
+KPRNG_OK=1
+if ! timeout 1800 python tools/check_ffn_prng.py > /tmp/r4_kprng.log 2>&1; then
+  KPRNG_OK=0
+  echo "$(date -u +%H:%M:%S) kprng check FAILED (see /tmp/r4_kprng.log); pinning GT_TPU_FFN_PRNG=bytes" >> "$Q"
+  export GT_TPU_FFN_PRNG=bytes
+else
+  echo "$(date -u +%H:%M:%S) kprng check OK" >> "$Q"
+fi
+
+# 2. kernel sweep (~40-90 min incl compiles)
+if timeout 10800 python tools/sweep_r4.py --steps 100 > /tmp/r4_sweep.log 2>&1; then
+  echo "$(date -u +%H:%M:%S) sweep done:" >> "$Q"
+  grep -h '"variant"' /tmp/sweep_r4.jsonl | python -c "
+import json,sys
+for l in sys.stdin:
+    r=json.loads(l)
+    print(' ', r.get('variant'), r.get('step_time_ms'), 'ms', r.get('mfu_vs_v5e_bf16_peak'))" >> "$Q" 2>/dev/null
+else
+  echo "$(date -u +%H:%M:%S) sweep FAILED/timeout (see /tmp/r4_sweep.log)" >> "$Q"
+fi
+
+# 3. decorrelated 9-member ensemble retrain (~2-3 h)
+if timeout 18000 python -u examples/multitask_ensemble.py --vmap --n-models 9 \
+    --epochs 2000 --bf16 --eval-every 4 --out runs/mt_ens_vmap4 \
+    --test-csv /root/reference/examples/data/test-set/expansion_data_test_full_lb_flag.csv \
+    --n-boot 1000 > /tmp/mt_ens_vmap4.log 2>&1; then
+  echo "$(date -u +%H:%M:%S) ensemble retrain done" >> "$Q"
+else
+  echo "$(date -u +%H:%M:%S) ensemble retrain FAILED/timeout" >> "$Q"
+fi
+
+# 4. seed study (~1.5-2 h)
+if timeout 14400 python -u tools/seed_study.py > /tmp/r4_seeds.log 2>&1; then
+  echo "$(date -u +%H:%M:%S) seed study done" >> "$Q"
+else
+  echo "$(date -u +%H:%M:%S) seed study FAILED/timeout" >> "$Q"
+fi
+
+echo "$(date -u +%H:%M:%S) queue END" >> "$Q"
