@@ -155,6 +155,54 @@ class TestGradients:
                 rtol=2e-3, atol=2e-4, err_msg=f"weight grad {k}")
 
 
+class TestGradientsMore:
+    def test_f32_grads_with_dropout_match(self, problem):
+        """Train-mode: the attention-dropout keep mask must apply at the
+        same sites in the fused fwd and its VJP (and match the composite
+        path under the same key)."""
+        x, e, ws, src, dst = problem
+        key = jax.random.PRNGKey(11)
+
+        def loss_fn(path):
+            def f(x_, e_, ws_):
+                a, ea = path(x_, e_, ws_, src, dst, jnp.float32,
+                             drop=0.25, rng=key)
+                return (jnp.sum(jnp.sin(a * 0.1))
+                        + jnp.sum(jnp.cos(ea * 0.1)))
+            return f
+
+        g_ref = jax.grad(loss_fn(_composite), argnums=(0, 2))(x, e, ws)
+        g = jax.grad(loss_fn(_proj), argnums=(0, 2))(x, e, ws)
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g_ref[0]),
+                                   rtol=2e-3, atol=2e-4)
+        for k in g_ref[1]:
+            np.testing.assert_allclose(
+                np.asarray(g[1][k]), np.asarray(g_ref[1][k]),
+                rtol=2e-3, atol=2e-4, err_msg=f"weight grad {k}")
+
+    def test_bf16_grads_close(self, problem):
+        """bf16 gradient path (split2 de/dW_eall, bf16 dx): relative L2
+        error vs the composite bf16 path stays in bf16-rounding range —
+        catches dtype-routing bugs the f32 test cannot."""
+        x, e, ws, src, dst = problem
+
+        def loss_fn(path):
+            def f(x_, e_, ws_):
+                a, ea = path(x_, e_, ws_, src, dst, jnp.bfloat16)
+                return (jnp.sum(jnp.sin(a.astype(jnp.float32) * 0.1))
+                        + jnp.sum(jnp.cos(ea.astype(jnp.float32) * 0.1)))
+            return f
+
+        g_ref = jax.grad(loss_fn(_composite), argnums=(2,))(x, e, ws)[0]
+        g = jax.grad(loss_fn(_proj), argnums=(2,))(x, e, ws)[0]
+        for k in g_ref:
+            a = np.asarray(g[k], np.float64).ravel()
+            b = np.asarray(g_ref[k], np.float64).ravel()
+            denom = np.linalg.norm(b) + 1e-12
+            rel = np.linalg.norm(a - b) / denom
+            assert rel < 0.06, f"weight grad {k}: rel L2 {rel:.4f}"
+
+
 class TestModelLevel:
     @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
     def test_gtconv_proj_matches_nonproj(self, dtype):

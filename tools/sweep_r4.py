@@ -22,29 +22,25 @@ BASE = {"GT_TPU_PROJ": "off", "GT_TPU_SHIFT": "select",
         "GT_TPU_FFN_ACT16": "0", "GT_TPU_SOFT_PREC": "split2",
         "GT_TPU_FFN_PRNG": "bytes"}
 
+# Ordered by decision value: the full-v5 production candidate and the
+# v4 re-baseline first (compiles on the tunnel can cost many minutes
+# each; if the sweep is cut short the head of this list is what
+# matters). The tail isolates the individual deltas and block sizes.
+_V5 = {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
+       "GT_TPU_FFN_ACT16": "1"}
 VARIANTS = [
     # name, env overrides on BASE
+    ("v5_kprng", dict(_V5, GT_TPU_FFN_PRNG="kernel")),
     ("v4_baseline", {}),
+    ("v5_act16", dict(_V5)),
+    ("v5_kprng_rb512", dict(_V5, GT_TPU_FFN_PRNG="kernel",
+                            GT_TPU_FFN_RB="1024")),
     ("shift_matmul", {"GT_TPU_SHIFT": "matmul"}),
     ("v5_proj", {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul"}),
-    ("v5_act16", {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
-                  "GT_TPU_FFN_ACT16": "1"}),
-    ("v5_ffn_rb1024", {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
-                       "GT_TPU_FFN_ACT16": "1", "GT_TPU_FFN_RB": "1024",
-                       "GT_TPU_FFN_G": "1"}),
-    ("v5_ffn_rb256g4", {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
-                        "GT_TPU_FFN_ACT16": "1", "GT_TPU_FFN_RB": "256",
-                        "GT_TPU_FFN_G": "4"}),
-    ("v5_g16", {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
-                "GT_TPU_FFN_ACT16": "1", "GT_TPU_TILES_G": "16"}),
-    ("v5_g4", {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
-               "GT_TPU_FFN_ACT16": "1", "GT_TPU_TILES_G": "4"}),
-    ("v5_kprng", {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
-                  "GT_TPU_FFN_ACT16": "1", "GT_TPU_FFN_PRNG": "kernel"}),
-    ("v5_kprng_rb512", {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
-                        "GT_TPU_FFN_ACT16": "1",
-                        "GT_TPU_FFN_PRNG": "kernel",
-                        "GT_TPU_FFN_RB": "1024"}),
+    ("v5_ffn_rb1024", dict(_V5, GT_TPU_FFN_RB="1024", GT_TPU_FFN_G="1")),
+    ("v5_ffn_rb256g4", dict(_V5, GT_TPU_FFN_RB="256", GT_TPU_FFN_G="4")),
+    ("v5_g16", dict(_V5, GT_TPU_TILES_G="16")),
+    ("v5_g4", dict(_V5, GT_TPU_TILES_G="4")),
 ]
 
 
