@@ -231,11 +231,17 @@ class GTConv(nn.Module):
         # kernel per direction over the residual streams — the XLA
         # projection matmul tier and the qkvg/e_all/out/eij HBM round
         # trips disappear (see the v5 banner in ops/pallas/gt_tile.py).
+        # Round-4 hardware verdict (tools/sweep_r4.py on 1xv5e): the
+        # fused kernel measured ~59 ms/step vs v4's 43 ms on the
+        # flagship bench — the step is MXU-ISSUE-bound, and folding the
+        # projection/WO matmuls into the already issue-bound attention
+        # kernel serializes work XLA overlapped across its own tier —
+        # so 'auto' resolves to the v4 split path; 'on' opts in.
         import os as _os
 
         proj_mode = _os.environ.get("GT_TPU_PROJ", "auto").lower()
         use_proj = (use_tile and fold and self.edge_in_dim is not None
-                    and proj_mode != "off")
+                    and proj_mode == "on")
 
         eij = None
         e_attn_pre = None
