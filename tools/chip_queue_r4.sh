@@ -31,23 +31,29 @@ for l in sys.stdin:
     print(' ', r.get('variant'), r.get('step_time_ms'), 'ms',
           r.get('mfu_vs_v5e_bf16_peak'), (r.get('error') or '')[:80])" >> "$Q" 2>/dev/null
 
-# Pick the training config from what actually worked on hardware: if the
-# v5 proj kernel errored, pin the v4 path for the long trainings.
+# Pick the training config from the FASTEST converged variant measured
+# on hardware (round-4 lesson: the v5 proj kernel compiled fine and was
+# 36% slower — "worked" is not a selection criterion).
 eval "$(python - <<'PYEOF'
 import json
-ok = {}
+best = None
 try:
     for line in open("/tmp/sweep_r4.jsonl"):
         r = json.loads(line)
-        ok[r.get("variant")] = not r.get("error")
+        if r.get("error") or not r.get("step_time_ms"):
+            continue
+        if r.get("eval_loss_last", 1e9) >= r.get("eval_loss_first", 0):
+            continue                      # training-broken variant
+        if best is None or r["step_time_ms"] < best["step_time_ms"]:
+            best = r
 except Exception:
     pass
-if ok.get("v5_act16") or ok.get("v5_kprng"):
-    print("export GT_TPU_PROJ=auto")
+if best is None:
+    print("export GT_TPU_PROJ=off GT_TPU_SHIFT=select "
+          "GT_TPU_FFN_PRNG=bytes GT_TPU_FFN_ACT16=0")
 else:
-    print("export GT_TPU_PROJ=off GT_TPU_SHIFT=select")
-if not ok.get("v5_kprng"):
-    print("export GT_TPU_FFN_PRNG=bytes")
+    for k, v in (best.get("env") or {}).items():
+        print(f"export {k}={v}")
 PYEOF
 )"
 echo "$(date -u +%H:%M:%S) training env: PROJ=${GT_TPU_PROJ:-auto} FFN_PRNG=${GT_TPU_FFN_PRNG:-auto}" >> "$Q"

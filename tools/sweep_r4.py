@@ -30,6 +30,12 @@ _V5 = {"GT_TPU_PROJ": "on", "GT_TPU_SHIFT": "matmul",
        "GT_TPU_FFN_ACT16": "1"}
 VARIANTS = [
     # name, env overrides on BASE
+    # v4_prod is bench.py's tier-0 default config after the round-4
+    # proj verdict: v4 split path + matmul shift + in-core PRNG masks
+    # + bf16 FFN activations
+    ("v4_prod", {"GT_TPU_SHIFT": "matmul", "GT_TPU_FFN_PRNG": "kernel",
+                 "GT_TPU_FFN_ACT16": "1"}),
+    ("v4_act16", {"GT_TPU_SHIFT": "matmul", "GT_TPU_FFN_ACT16": "1"}),
     ("v5_kprng", dict(_V5, GT_TPU_FFN_PRNG="kernel")),
     ("v4_baseline", {}),
     ("v5_act16", dict(_V5)),
