@@ -147,7 +147,8 @@ class DeviceDataset:
     def index_batch_tiled(self, graph_ids: Sequence[int], tile_edges: int,
                           graph_pad: int,
                           tiles_multiple: int = 1,
-                          tile_pack: str = "nextfit") -> IndexBatch:
+                          tile_pack: str = "nextfit",
+                          min_tiles: int = 0) -> IndexBatch:
         """Tile-packed recipe: packing of the batch graphs into aligned
         128-node / ``tile_edges``-edge tiles. With ``tile_pack="ffd"``
         graph slots are re-ordered into placement order (the
@@ -168,7 +169,8 @@ class DeviceDataset:
             for tile in tiles:
                 tile[:] = range(pos, pos + len(tile))
                 pos += len(tile)
-        n_tiles = max(_round_up(len(tiles), tiles_multiple), tiles_multiple)
+        n_tiles = max(_round_up(len(tiles), tiles_multiple), tiles_multiple,
+                      int(min_tiles))
         node_pad = n_tiles * TILE_NODES
         edge_pad = n_tiles * tile_edges
 
@@ -210,6 +212,45 @@ class DeviceDataset:
             num_nodes=np.int32(int(self.node_cnt[ids].sum())),
             num_edges=np.int32(int(self.edge_cnt[ids].sum())),
             num_graphs=np.int32(B), tile_edges=tile_edges)
+
+    def stable_tile_count(self, batch_size: int, tile_edges: int,
+                          tiles_multiple: int = 8,
+                          tile_pack: str = "nextfit",
+                          probes: int = 8, slack: int = 1) -> int:
+        """A tile count that (with high probability) upper-bounds every
+        shuffled batch of ``batch_size`` graphs: max over ``probes``
+        simulated shuffle epochs, plus ``slack`` extra multiples, rounded
+        to ``tiles_multiple``.
+
+        Padding every training batch to this fixed count keeps the step
+        shape CONSTANT across steps/epochs/members — one XLA compile
+        instead of one per distinct shape. This matters enormously for
+        the vmapped ensemble, whose 9-member program costs minutes per
+        compile on the remote toolchain (round-4 incident: the
+        decorrelated retrain spent >1 h in a compile storm because each
+        step's unified max-of-9 shape wobbled between tile multiples).
+        A rare larger batch still works — index_batch_tiled just grows
+        past ``min_tiles`` and pays one extra compile."""
+        key = ("stc", batch_size, tile_edges, tiles_multiple, tile_pack,
+               probes, slack)
+        cache = getattr(self, "_stc_cache", None)
+        if cache is None:
+            cache = self._stc_cache = {}
+        if key in cache:
+            return cache[key]
+        worst = 0
+        rng = np.random.default_rng(0xC0FFEE)
+        n = self.num_graphs_total
+        for _ in range(probes):
+            order = rng.permutation(n)
+            for s in range(0, n, batch_size):
+                ids = order[s:s + batch_size]
+                tiles = plan_tiles(self.node_cnt[ids], self.edge_cnt[ids],
+                                   tile_edges, strategy=tile_pack)
+                worst = max(worst, len(tiles))
+        out = _round_up(worst + slack * tiles_multiple, tiles_multiple)
+        cache[key] = out
+        return out
 
     def repad(self, ib: IndexBatch, node_pad: int,
               edge_pad: int) -> IndexBatch:
@@ -268,7 +309,8 @@ class DeviceDataset:
                            edge_multiple: int = 2048,
                            tile_edges: Optional[int] = None,
                            tiles_multiple: int = 8,
-                           tile_pack: str = "nextfit"):
+                           tile_pack: str = "nextfit",
+                           min_tiles: int = 0):
         order = np.arange(self.num_graphs_total)
         if shuffle:
             (rng or np.random.default_rng()).shuffle(order)
@@ -277,7 +319,8 @@ class DeviceDataset:
             if tile_edges is not None:
                 yield self.index_batch_tiled(ids, tile_edges, batch_size,
                                              tiles_multiple=tiles_multiple,
-                                             tile_pack=tile_pack)
+                                             tile_pack=tile_pack,
+                                             min_tiles=min_tiles)
                 continue
             nn = int(self.node_cnt[ids].sum())
             ne = int(self.edge_cnt[ids].sum())

@@ -167,6 +167,16 @@ class VmapEnsembleTrainer:
         train_fn, _ = self._get_fns(dd)
         tree = dd.device_tree()
 
+        # Pad every batch to one dataset-stable tile count so the step
+        # shape never changes: the vmapped M-member program costs
+        # minutes per XLA compile on the remote toolchain, and without
+        # this the per-step max-of-M unified shape wobbles between tile
+        # multiples — a compile per wobble (round-4 incident: >1 h of
+        # compile storm before epoch 1).
+        min_tiles = (dd.stable_tile_count(
+            c.batch_train, c.tile_edges, tiles_multiple=c.tiles_multiple,
+            tile_pack=c.tile_pack) if c.tile_edges else 0)
+
         def _iter(rng_seed):
             return dd.iter_index_batches(
                 c.batch_train, shuffle=True,
@@ -175,15 +185,22 @@ class VmapEnsembleTrainer:
                 edge_multiple=c.edge_multiple,
                 tile_edges=c.tile_edges,
                 tiles_multiple=c.tiles_multiple,
-                tile_pack=c.tile_pack)
+                tile_pack=c.tile_pack,
+                min_tiles=min_tiles)
 
         if self.decorrelate:
             # one independent shuffle stream per member, like the
-            # reference's M independent training runs
+            # reference's M independent training runs. The per-step
+            # M-recipe packing + unify is real host work (~21 packings
+            # of 256 graphs x 9 members per epoch) — run it in a
+            # prefetch thread so it overlaps device compute.
+            from ..data.pipeline import PrefetchIterator
+
             iters = zip(*[_iter(1_000_003 * (s + 1) + epoch)
                           for s in self.seeds])
-            batches = (dd.unify_and_stack(step_ibs)
-                       for step_ibs in iters)
+            batches = PrefetchIterator(
+                (dd.unify_and_stack(step_ibs) for step_ibs in iters),
+                prefetch=3)
         else:
             batches = _iter(c.seed + epoch)
         losses = []
