@@ -83,3 +83,46 @@ class TestMaterialization:
             dd.static_meta())
         np.testing.assert_array_equal(np.asarray(got.y_mask)[:, 0],
                                       [0.0, 1.0, 0.0])  # NaN label masked
+
+
+class TestStableTileCount:
+    """stable_tile_count pins ONE batch shape across shuffled epochs and
+    decorrelated member streams — the vmapped ensemble compiles once
+    (round-4 incident: per-step shape wobble = one multi-minute XLA
+    compile per distinct shape)."""
+
+    def test_single_unified_shape_across_epochs_and_members(self, graphs):
+        gs = graphs * 12                       # 72 graphs, varied sizes
+        dd = DeviceDataset(gs, num_tasks=1)
+        ft = dd.stable_tile_count(8, 32, tiles_multiple=2,
+                                  tile_pack="ffd")
+        shapes = set()
+        for ep in range(4):
+            iters = zip(*[dd.iter_index_batches(
+                8, shuffle=True,
+                rng=np.random.default_rng(1_000_003 * (s + 1) + ep),
+                tile_edges=32, tiles_multiple=2, tile_pack="ffd",
+                min_tiles=ft) for s in range(3)])
+            for step_ibs in iters:
+                u = dd.unify_and_stack(step_ibs)
+                shapes.add((u.node_gather.shape, u.edge_gather.shape))
+        assert len(shapes) == 1, shapes
+
+    def test_min_tiles_floor_and_cache(self, graphs):
+        dd = DeviceDataset(graphs, num_tasks=1)
+        ft = dd.stable_tile_count(4, 32, tiles_multiple=2,
+                                  tile_pack="ffd")
+        assert ft % 2 == 0 and ft >= 2
+        assert dd.stable_tile_count(4, 32, tiles_multiple=2,
+                                    tile_pack="ffd") == ft  # cached
+        ib = dd.index_batch_tiled([0, 1], 32, 4, tiles_multiple=2,
+                                  tile_pack="ffd", min_tiles=ft)
+        assert ib.node_gather.shape[0] == ft * 128
+        assert ib.edge_gather.shape[0] == ft * 32
+        # materialization of a floor-padded batch stays valid
+        got = dd.materialize(ib)
+        ref = pad_graph_batch([graphs[0], graphs[1]], tile_edges=32,
+                              graph_pad=4, tiles_multiple=ft,
+                              tile_pack="ffd")
+        np.testing.assert_allclose(np.asarray(got.node_x),
+                                   np.asarray(ref.node_x))
