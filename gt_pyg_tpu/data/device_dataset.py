@@ -25,12 +25,15 @@ tile's first padding node row.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional, Sequence
 
 import numpy as np
 
 from .graph import (GraphBatch, GraphData, TILE_NODES, _round_up,
                     plan_tiles)
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -169,6 +172,15 @@ class DeviceDataset:
             for tile in tiles:
                 tile[:] = range(pos, pos + len(tile))
                 pos += len(tile)
+        if min_tiles and len(tiles) > min_tiles:
+            # the stable_tile_count floor is a probed heuristic bound
+            # (the caller's actual shuffle streams may differ from the
+            # probe streams) — make the resulting one-off recompile
+            # attributable instead of silent (ADVICE r4)
+            logger.warning(
+                "batch needs %d tiles > stable floor %d: this step gets "
+                "a larger shape (one extra XLA compile)", len(tiles),
+                min_tiles)
         n_tiles = max(_round_up(len(tiles), tiles_multiple), tiles_multiple,
                       int(min_tiles))
         node_pad = n_tiles * TILE_NODES

@@ -173,9 +173,15 @@ class VmapEnsembleTrainer:
         # this the per-step max-of-M unified shape wobbles between tile
         # multiples — a compile per wobble (round-4 incident: >1 h of
         # compile storm before epoch 1).
+        # probe at least as many shuffle streams as there are members:
+        # the decorrelated members each draw their own epoch stream, so
+        # the probed max should cover ~M independent shuffles (ADVICE
+        # r4; iter_index_batches also warns when a batch still exceeds
+        # the floor, so any residual recompile is attributable)
         min_tiles = (dd.stable_tile_count(
             c.batch_train, c.tile_edges, tiles_multiple=c.tiles_multiple,
-            tile_pack=c.tile_pack) if c.tile_edges else 0)
+            tile_pack=c.tile_pack,
+            probes=max(8, self.m + 2)) if c.tile_edges else 0)
 
         def _iter(rng_seed):
             return dd.iter_index_batches(
@@ -204,13 +210,20 @@ class VmapEnsembleTrainer:
         else:
             batches = _iter(c.seed + epoch)
         losses = []
-        for ib in batches:
-            ib = jax.tree_util.tree_map(jnp.asarray, ib)
-            rng, sk = jax.random.split(rng)
-            rngs = jax.random.split(sk, self.m)          # [M] keys
-            states, loss, ok = train_fn(states, tree, ib, lr, task_scale,
-                                        rngs)
-            losses.append(loss)                           # [M]
+        try:
+            for ib in batches:
+                ib = jax.tree_util.tree_map(jnp.asarray, ib)
+                rng, sk = jax.random.split(rng)
+                rngs = jax.random.split(sk, self.m)      # [M] keys
+                states, loss, ok = train_fn(states, tree, ib, lr,
+                                            task_scale, rngs)
+                losses.append(loss)                       # [M]
+        finally:
+            # an exception mid-epoch must not strand the prefetch
+            # worker on a full queue (thread + batch leak, ADVICE r4)
+            close = getattr(batches, "close", None)
+            if close is not None:
+                close()
         vals = (np.asarray(jnp.stack(losses)) if losses
                 else np.zeros((1, self.m)))               # [steps, M]
         finite = np.isfinite(vals)

@@ -104,6 +104,30 @@ class TestPrefetchIterator:
     def test_empty_iterator(self):
         assert list(PrefetchIterator(iter(()))) == []
 
+    def test_close_releases_abandoned_worker(self):
+        """A consumer that abandons mid-iteration can close() and the
+        worker thread exits instead of blocking forever on the full
+        queue (ADVICE r4: each abandoned epoch leaked a daemon thread
+        plus prefetch+1 packed batches)."""
+        it = PrefetchIterator(iter(range(1000)), prefetch=1)
+        assert next(it) == 0        # worker is now blocked on put()
+        it.close()
+        assert not it._thread.is_alive()
+        with pytest.raises(StopIteration):
+            next(it)
+
+    def test_close_idempotent_and_context_manager(self):
+        with PrefetchIterator(iter(range(5)), prefetch=2) as it:
+            assert next(it) == 0
+        it.close()                  # second close is a no-op
+        assert not it._thread.is_alive()
+
+    def test_close_after_exhaustion_is_safe(self):
+        it = PrefetchIterator(iter(range(3)), prefetch=2)
+        assert list(it) == [0, 1, 2]
+        it.close()
+        assert not it._thread.is_alive()
+
     def test_prefetch_batches_integration(self):
         graphs = get_tensor_data(SMILES, [1.0] * len(SMILES),
                                  progress=False)

@@ -98,10 +98,10 @@ class TestTrainerDP:
         assert np.isfinite(loss)
 
     def test_dp_with_production_fast_path(self, graphs):
-        """bf16 + norm folding + projection-fused tile kernel (the v5
-        production configuration) under a 4-device DP mesh: the step must
-        run and train (finite decreasing-ish loss), protecting the
-        multi-chip story for the shipped fast path."""
+        """bf16 + norm folding + tile kernel under a 4-device DP mesh:
+        the step must run and train (finite loss), protecting the
+        multi-chip story for the shipped v4 fast path (GT_TPU_PROJ=auto
+        resolves to the split kernel since the round-4 demotion)."""
         import jax.numpy as jnp_
 
         model = _model(bn_axis_name="data", attn_impl="tile",
@@ -113,6 +113,33 @@ class TestTrainerDP:
         state, loss1, _ = trainer.train_epoch(
             state, graphs, ts, epoch=1, rng=jax.random.PRNGKey(0))
         assert np.isfinite(loss1)
+
+    def test_dp_with_proj_fused_kernel(self, graphs):
+        """GT_TPU_PROJ=on (the v5 projection-fused kernel, kept in-tree
+        behind the flag since its round-4 perf demotion) under a
+        4-device DP mesh — the fused kernel's only multi-device
+        coverage (ADVICE r4)."""
+        import os
+
+        import jax.numpy as jnp_
+
+        old = os.environ.get("GT_TPU_PROJ")
+        os.environ["GT_TPU_PROJ"] = "on"
+        try:
+            model = _model(bn_axis_name="data", attn_impl="tile",
+                           norm_fold="on", dtype=jnp_.bfloat16)
+            trainer = Trainer(model, _cfg(mesh_devices=4, tile_edges=96,
+                                          tiles_multiple=1))
+            state = trainer.init_state(_sample(graphs, tile_edges=96))
+            ts = jnp.ones((1,), jnp.float32)
+            state, loss1, _ = trainer.train_epoch(
+                state, graphs, ts, epoch=1, rng=jax.random.PRNGKey(0))
+            assert np.isfinite(loss1)
+        finally:
+            if old is None:
+                os.environ.pop("GT_TPU_PROJ", None)
+            else:
+                os.environ["GT_TPU_PROJ"] = old
 
     def test_too_many_devices_raises(self, graphs):
         with pytest.raises(ValueError, match="devices are visible"):

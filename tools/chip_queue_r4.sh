@@ -33,7 +33,11 @@ for l in sys.stdin:
 
 # Pick the training config from the FASTEST converged variant measured
 # on hardware (round-4 lesson: the v5 proj kernel compiled fine and was
-# 36% slower — "worked" is not a selection criterion).
+# 36% slower — "worked" is not a selection criterion). Near-equal step
+# times (within 3%) tie-break on eval_loss_last: a 1-2% speed win must
+# not outrank a measurably better-converging variant (ADVICE r4 — the
+# round-4 queue picked shift_matmul, eval 0.90, over v4_baseline, 0.81,
+# for 0.7 ms).
 eval "$(python - <<'PYEOF'
 import json
 best = None
@@ -44,8 +48,14 @@ try:
             continue
         if r.get("eval_loss_last", 1e9) >= r.get("eval_loss_first", 0):
             continue                      # training-broken variant
-        if best is None or r["step_time_ms"] < best["step_time_ms"]:
+        if best is None:
             best = r
+        elif r["step_time_ms"] < best["step_time_ms"] * 0.97:
+            best = r                      # clearly faster
+        elif (r["step_time_ms"] < best["step_time_ms"] * 1.03
+              and r.get("eval_loss_last", 1e9)
+              < best.get("eval_loss_last", 1e9)):
+            best = r                      # ~equal speed, converges better
 except Exception:
     pass
 if best is None:
