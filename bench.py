@@ -80,21 +80,27 @@ def model_flops_fwd(npad, ep, bp, hidden=128, a_gt=2, a_pool=4,
     return 2 * total_macs
 
 
-def build_batch(batch_graphs=2048, tile_edges=None, tile_pack="ffd"):
+def build_batch(batch_graphs=2048, tile_edges=None, tile_pack="ffd",
+                tile_nodes=128):
     """Featurize + pack the bench batch; cached on disk (featurizing 2k+
     molecules costs minutes and dominates ablation turnaround)."""
     import pickle
     from pathlib import Path
 
+    # tile_nodes joined the cache key in round 5; the nt=128 key stays
+    # unchanged so pre-existing caches (whose pickles lack the field,
+    # defaulting to 128 on load) remain valid
+    nt_tag = "" if tile_nodes == 128 else f"_nt{tile_nodes}"
     cache = Path(f"/tmp/gt_bench_batch_{batch_graphs}_{tile_edges}_"
-                 f"{tile_pack}.pkl")
+                 f"{tile_pack}{nt_tag}.pkl")
     if cache.exists():
         try:
             with open(cache, "rb") as f:
                 return pickle.load(f)
         except Exception:
             pass
-    batch = _build_batch_uncached(batch_graphs, tile_edges, tile_pack)
+    batch = _build_batch_uncached(batch_graphs, tile_edges, tile_pack,
+                                  tile_nodes)
     try:
         with open(cache, "wb") as f:
             pickle.dump(batch, f)
@@ -103,7 +109,8 @@ def build_batch(batch_graphs=2048, tile_edges=None, tile_pack="ffd"):
     return batch
 
 
-def _build_batch_uncached(batch_graphs, tile_edges, tile_pack="ffd"):
+def _build_batch_uncached(batch_graphs, tile_edges, tile_pack="ffd",
+                          tile_nodes=128):
     from gt_pyg_tpu.data import get_tensor_data, pad_graph_batch
 
     csv = ("/root/reference/examples/data/train-set/"
@@ -129,7 +136,8 @@ def _build_batch_uncached(batch_graphs, tile_edges, tile_pack="ffd"):
     if tile_edges:
         return pad_graph_batch(graphs, tile_edges=tile_edges,
                                graph_pad=batch_graphs,
-                               tile_pack=tile_pack)
+                               tile_pack=tile_pack,
+                               tile_nodes=tile_nodes)
     return pad_graph_batch(graphs, node_multiple=1024, edge_multiple=2048,
                            graph_pad=batch_graphs)
 
@@ -145,7 +153,8 @@ def measure(args, batch_graphs):
 
     t_setup = time.time()
     tile_edges = args.tile_edges if args.attn_impl == "tile" else None
-    batch = build_batch(batch_graphs, tile_edges, args.tile_pack)
+    batch = build_batch(batch_graphs, tile_edges, args.tile_pack,
+                        args.tile_nodes)
     real_edges = int(batch.num_edges)
 
     model = GraphTransformerNet(
@@ -292,6 +301,7 @@ def measure(args, batch_graphs):
         "padded_nodes": npad,
         "padded_edges": ep,
         "tile_edges": tile_edges,
+        "tile_nodes": args.tile_nodes,
         "tile_pack": args.tile_pack,
         "step_time_ms": round(dt * 1000, 2),
         "edge_layer_per_s": real_edges * NUM_LAYERS / dt,
@@ -336,6 +346,10 @@ def main():
                    choices=["auto", "on", "off"])
     p.add_argument("--batch-graphs", type=int, default=2048)
     p.add_argument("--tile-edges", type=int, default=256)
+    p.add_argument("--tile-nodes", type=int, default=128,
+                   help="node rows per tile (128 = lane width; 256 = "
+                        "multi-graph node tiles: ~half the kernel "
+                        "issues at 2x the one-hot incidence FLOPs)")
     p.add_argument("--tile-pack", default="ffd",
                    choices=["ffd", "nextfit"])
     p.add_argument("--steps", type=int, default=TIMED_STEPS)

@@ -77,15 +77,20 @@ class GraphBatch:
     num_nodes: np.ndarray    # [] int32 — real node count
     num_edges: np.ndarray    # [] int32
     num_graphs: np.ndarray   # [] int32
-    # static layout tag (pytree aux data, not an array): edge rows per
-    # 128-node tile in the tile-packed layout, or None for the flat
-    # layout. Tile-packed batches guarantee, for every tile t:
-    #   * nodes [t*128, (t+1)*128) and edges [t*TE, (t+1)*TE) belong to
+    # static layout tags (pytree aux data, not arrays): edge rows and
+    # node rows per tile in the tile-packed layout (``tile_edges`` is
+    # None for the flat layout). Tile-packed batches guarantee, for
+    # every tile t:
+    #   * nodes [t*NT, (t+1)*NT) and edges [t*TE, (t+1)*TE) belong to
     #     whole graphs (no graph straddles a tile boundary);
     #   * every edge's src/dst lie inside its own tile's node range;
-    #   * <= 127 real nodes per tile; padding edges point at the tile's
+    #   * <= NT-1 real nodes per tile; padding edges point at the tile's
     #     first padding node row (keeps edge_dst globally sorted).
+    # ``tile_nodes`` defaults to 128 (the TPU lane width); 256 packs
+    # ~2x the graphs per tile — fewer, larger kernel issues at 2x the
+    # one-hot incidence FLOPs (the round-5 layout experiment).
     tile_edges: Optional[int] = None
+    tile_nodes: int = TILE_NODES
 
     _ARRAY_FIELDS = ("node_x", "edge_attr", "edge_src", "edge_dst",
                      "node_graph", "edge_perm_src", "node_mask",
@@ -99,8 +104,14 @@ try:  # register as a JAX pytree when jax is importable
     jax.tree_util.register_pytree_node(
         GraphBatch,
         lambda b: (tuple(getattr(b, f) for f in GraphBatch._ARRAY_FIELDS),
-                   b.tile_edges),
-        lambda aux, vals: GraphBatch(*vals, tile_edges=aux),
+                   (b.tile_edges, getattr(b, "tile_nodes", TILE_NODES))),
+        # aux was a bare tile_edges before tile_nodes existed — accept
+        # both forms so old serialized trees keep loading
+        lambda aux, vals: GraphBatch(
+            *vals,
+            tile_edges=aux[0] if isinstance(aux, tuple) else aux,
+            tile_nodes=(aux[1] if isinstance(aux, tuple)
+                        else TILE_NODES)),
     )
 except Exception:  # pragma: no cover
     pass
@@ -228,6 +239,7 @@ def pad_graph_batch(
     tile_edges: Optional[int] = None,
     tiles_multiple: int = 1,
     tile_pack: str = "nextfit",
+    tile_nodes: int = TILE_NODES,
 ) -> GraphBatch:
     """Disjoint-union batch with padding to fixed shapes.
 
@@ -256,7 +268,7 @@ def pad_graph_batch(
     if tile_edges is not None:
         return _pad_graph_batch_tiled(graphs, tile_edges, graph_pad,
                                       num_tasks, tiles_multiple,
-                                      tile_pack)
+                                      tile_pack, tile_nodes)
 
     tot_nodes = sum(g.num_nodes for g in graphs)
     tot_edges = sum(g.num_edges for g in graphs)
@@ -337,10 +349,11 @@ def _pad_graph_batch_tiled(graphs: Sequence[GraphData], tile_edges: int,
                            graph_pad: Optional[int],
                            num_tasks: Optional[int],
                            tiles_multiple: int,
-                           tile_pack: str = "nextfit") -> GraphBatch:
+                           tile_pack: str = "nextfit",
+                           tile_nodes: int = TILE_NODES) -> GraphBatch:
     """Tile-packed layout (see ``pad_graph_batch`` / ``GraphBatch``)."""
     B = len(graphs)
-    NT, TE = TILE_NODES, tile_edges
+    NT, TE = int(tile_nodes), tile_edges
     F = graphs[0].x.shape[1]
     D = graphs[0].edge_attr.shape[1]
     Bp = graph_pad if graph_pad is not None else B
@@ -353,7 +366,7 @@ def _pad_graph_batch_tiled(graphs: Sequence[GraphData], tile_edges: int,
 
     tiles = plan_tiles([g.num_nodes for g in graphs],
                        [g.num_edges for g in graphs], TE,
-                       strategy=tile_pack)
+                       tile_nodes=NT, strategy=tile_pack)
     n_tiles = max(_round_up(len(tiles), tiles_multiple), tiles_multiple)
     Np, Ep = n_tiles * NT, n_tiles * TE
 
@@ -415,5 +428,5 @@ def _pad_graph_batch_tiled(graphs: Sequence[GraphData], tile_edges: int,
         node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
         y=y, y_mask=y_mask,
         num_nodes=np.int32(tot_nodes), num_edges=np.int32(tot_edges),
-        num_graphs=np.int32(B), tile_edges=TE,
+        num_graphs=np.int32(B), tile_edges=TE, tile_nodes=NT,
     )

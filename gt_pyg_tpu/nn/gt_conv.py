@@ -161,6 +161,7 @@ class GTConv(nn.Module):
         deterministic: bool = True,
         tile_edges: Optional[int] = None,
         bn_frozen: bool = False,
+        tile_nodes: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """``bn_frozen``: normalize with RUNNING stats even in training —
         the reference flips a frozen layer's BatchNorms to eval mode
@@ -266,7 +267,7 @@ class GTConv(nn.Module):
                 H, self.hidden_dim, tile_edges, has_gate=self.gate,
                 aggregators=aggs,
                 dropout_rate=self.dropout if not deterministic else 0.0,
-                dropout_rng=attn_rng)
+                dropout_rng=attn_rng, tile_nodes=tile_nodes)
         elif use_tile:
             from ..ops.pallas.gt_tile import gt_attention_tile_merged
 
@@ -302,7 +303,7 @@ class GTConv(nn.Module):
                 qkvg, edge_src, edge_dst, H, self.hidden_dim, tile_edges,
                 e_all=e_all, has_gate=self.gate, aggregators=aggs,
                 dropout_rate=self.dropout if not deterministic else 0.0,
-                dropout_rng=attn_rng,
+                dropout_rng=attn_rng, tile_nodes=tile_nodes,
             )                   # [Np, hidden * A], [a][h][d] layout
         else:
             proj = self._merged_proj(qkv_in, self.node_in_dim, qkv_specs)
@@ -345,6 +346,7 @@ class GTConv(nn.Module):
                 edge_perm_src=edge_perm_src,
                 tile_edges=tile_edges,
                 raw_layout=True,
+                tile_nodes=tile_nodes,
             )                   # [Np, hidden * A], [a][h][d] layout
 
         drop = lambda name: Dropout(rate=self.dropout, name=name)

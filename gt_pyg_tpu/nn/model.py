@@ -184,7 +184,8 @@ class GraphTransformerNet(nn.Module):
               edge_perm_src=getattr(batch, "edge_perm_src", None),
               deterministic=deterministic,
               tile_edges=getattr(batch, "tile_edges", None),
-              bn_frozen=f"gt_layer_{li}" in frozen_norms)
+              bn_frozen=f"gt_layer_{li}" in frozen_norms,
+              tile_nodes=getattr(batch, "tile_nodes", None))
             h = h * node_mask[:, None]
             if e is not None:
                 e = e * edge_mask[:, None]

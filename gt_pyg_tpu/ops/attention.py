@@ -110,6 +110,7 @@ def gt_attention(
     edge_perm_src: Optional[jnp.ndarray] = None,  # [Ep] src-sort perm
     tile_edges: Optional[int] = None,
     raw_layout: bool = False,
+    tile_nodes: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Returns (node_out [Np, hidden * A] in reference [h][a][d] layout,
     or aggregator-major [a][h][d] when ``raw_layout`` — consumers then
@@ -142,6 +143,7 @@ def gt_attention(
                 q, k, v, edge_src, edge_dst, num_heads, tile_edges,
                 e_bias, e_val, gate_n, e_gate_logits, aggregators,
                 dropout_rate, dropout_rng, raw_layout=raw_layout,
+                tile_nodes=tile_nodes,
             )
         impl = "lax"  # fall through
     if impl == "pallas":

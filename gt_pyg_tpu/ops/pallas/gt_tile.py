@@ -94,7 +94,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...data.graph import TILE_NODES as NT
+from ...data.graph import TILE_NODES
 
 _SOFTMAX_EPS = 1e-16
 _NEG_INF = -1e30
@@ -276,8 +276,8 @@ def _dot_t(a, b, prec):
         precision=prec)
 
 
-# cfg tuple (the 9-tuple view a kernel body sees):
-#   (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles)
+# cfg tuple (the view a kernel body sees — nt is always LAST):
+#   (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles, nt)
 #
 # Each grid step processes ``g_tiles`` (G) consecutive tiles with a
 # static inner loop: per-step Mosaic control overhead (~µs) was
@@ -285,6 +285,12 @@ def _dot_t(a, b, prec):
 # 4-layer step against a ~3 ms matmul floor), and the per-tile matmul
 # shapes are unchanged, so amortizing the overhead G× is pure win as
 # long as the G-tile working set fits VMEM.
+#
+# ``nt`` (node rows per tile) defaults to 128 = the TPU lane width; 256
+# is the round-5 "multi-graph node tile" layout — roughly half the
+# tiles (and kernel issues) per batch at 2x the one-hot incidence
+# FLOPs, probing whether the measured MXU-issue-bound step trades FLOPs
+# for issue count profitably.
 def _recompute_tile(cfg, refs, en, nn_, base, iota, qkvg=None,
                     e_all=None, md=None):
     """Shared fwd/bwd-recompute stage. Returns a dict of per-tile
@@ -294,6 +300,7 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota, qkvg=None,
     v4 interface); the projection-fused v5 kernel passes them as VMEM
     VALUES it just computed from the residual streams."""
     heads, dh, te, aggs, has_gate, has_edge, drop_rate = cfg[:7]
+    nt = iota.shape[1]
     hidden = heads * dh
     scale = 1.0 / math.sqrt(dh)
 
@@ -356,7 +363,7 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota, qkvg=None,
     # select-sum gather back to edge rows (f32 VPU — matmul gathers
     # would round the shift to bf16, and a 0.4% error on a 1e5-scale
     # shift re-introduces exp overflow).
-    valid = (dl >= 0) & (dl < NT)               # [TE, 1]
+    valid = (dl >= 0) & (dl < nt)               # [TE, 1]
     logits = jnp.where(valid, logits, _NEG_INF)
     sd_f = sd_b.astype(_F32)
     if "p_saved" in refs:
@@ -423,14 +430,14 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota, qkvg=None,
 
 
 def _fwd_body(cfg, refs):
-    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles, nt = cfg
     hidden = heads * dh
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, nt), 1)
 
     for g in range(g_tiles):
         en = pl.ds(g * te, te)                  # edge-row window
-        nn_ = pl.ds(g * NT, NT)                 # node-row window
-        base = (pl.program_id(0) * g_tiles + g) * NT
+        nn_ = pl.ds(g * nt, nt)                 # node-row window
+        base = (pl.program_id(0) * g_tiles + g) * nt
         t = _recompute_tile(cfg, refs, en, nn_, base, iota)
         md = t["md"]
 
@@ -461,14 +468,14 @@ def _fwd_body(cfg, refs):
 
 
 def _bwd_body(cfg, refs):
-    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles, nt = cfg
     hidden = heads * dh
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, nt), 1)
 
     for g in range(g_tiles):
         en = pl.ds(g * te, te)
-        nn_ = pl.ds(g * NT, NT)
-        base = (pl.program_id(0) * g_tiles + g) * NT
+        nn_ = pl.ds(g * nt, nt)
+        base = (pl.program_id(0) * g_tiles + g) * nt
         t = _recompute_tile(cfg, refs, en, nn_, base, iota)
         md = t["md"]
         S_m = t["S_m_raw"].astype(md)
@@ -482,7 +489,7 @@ def _bwd_body(cfg, refs):
         alpha_full = _dot(alpha.astype(md), S_m.T)          # [TE, hidden]
 
         # fold aggregator cotangents into one per-node message gradient
-        g_node = jnp.zeros((NT, hidden), _F32)
+        g_node = jnp.zeros((nt, hidden), _F32)
         off = 0
         for a in aggs:
             piece = refs["g_out"][nn_, off:off + hidden].astype(_F32)
@@ -558,13 +565,13 @@ def _edge_block(cfg, width):
 
 
 def _node_block(cfg, width):
-    g = cfg[7]
-    return pl.BlockSpec((g * NT, width), lambda t: (t, 0),
+    g, nt = cfg[7], cfg[-1]     # nt is LAST in every body-cfg form
+    return pl.BlockSpec((g * nt, width), lambda t: (t, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _collect_inputs(cfg, qkvg, e_all, bits, src, dst):
-    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles, nt = cfg
     hidden = heads * dh
     names = ["qkvg"]
     arrays = [qkvg]
@@ -587,10 +594,10 @@ def _collect_inputs(cfg, qkvg, e_all, bits, src, dst):
 
 
 def _cost(cfg, npad, ep, n_big_matmuls):
-    heads, dh, te = cfg[0], cfg[1], cfg[2]
+    heads, dh, te, nt = cfg[0], cfg[1], cfg[2], cfg[-1]
     hidden = heads * dh
-    n_tiles = npad // NT
-    per_tile = n_big_matmuls * 2 * te * NT * hidden
+    n_tiles = npad // nt
+    per_tile = n_big_matmuls * 2 * te * nt * hidden
     return pl.CostEstimate(
         flops=n_tiles * per_tile,
         bytes_accessed=(npad * hidden * 4 * 4 + ep * hidden * 4 * 2),
@@ -598,14 +605,20 @@ def _cost(cfg, npad, ep, n_big_matmuls):
     )
 
 
-def _resolve_tiles_g(tiles_per_step):
-    """Default fwd tiles-per-grid-step (bwd uses half): 8 unless the
-    GT_TPU_TILES_G env knob overrides (sweepable without model args)."""
+def _resolve_tiles_g(tiles_per_step, nt=TILE_NODES):
+    """Default fwd tiles-per-grid-step (bwd uses half): 8 at nt=128
+    unless the GT_TPU_TILES_G env knob overrides (sweepable without
+    model args). Larger node tiles scale the per-tile working set
+    ~(nt/128)^2 (the [TE, NT] indicators dominate), so the default
+    shrinks accordingly to stay inside scoped VMEM."""
     import os
 
     if tiles_per_step is not None:
         return int(tiles_per_step)
-    return int(os.environ.get("GT_TPU_TILES_G", 8))
+    env = os.environ.get("GT_TPU_TILES_G")
+    if env is not None:
+        return int(env)
+    return max(1, (8 * 128 * 128) // (int(nt) * int(nt)))
 
 
 def _pick_tiles_per_step(n_tiles: int, want: int) -> int:
@@ -624,10 +637,10 @@ def _run_fwd(cfg, qkvg, e_all, bits, src, dst, save_soft):
     sums so the backward can skip recomputing them (the masked-max loop
     and the denominator scatter are the expensive parts of the softmax
     chain; the extra HBM traffic is ~4 MB/layer)."""
-    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles, nt = cfg
     hidden = heads * dh
     npad, ep = qkvg.shape[0], src.shape[0]
-    n_tiles = npad // NT
+    n_tiles = npad // nt
 
     names, arrays, in_specs = _collect_inputs(cfg, qkvg, e_all, bits,
                                               src, dst)
@@ -677,31 +690,31 @@ def _tile_core(cfg, qkvg, e_all, bits, src, dst):
     Inactive optional args are 1-element dummies (cfg flags gate which
     reach the kernel).
 
-    ``cfg`` is a 9-tuple (heads, dh, te, aggs, has_gate, has_edge,
-    drop_rate, g_fwd, g_bwd); the fwd/bwd kernels run with their own
-    tiles-per-step (the bwd working set is ~2x the fwd's, so it uses a
-    smaller G to stay inside scoped VMEM)."""
-    cfg8 = cfg[:7] + (cfg[7],)         # 8-tuple view with G = g_fwd
-    out, eij, _ = _run_fwd(cfg8, qkvg, e_all, bits, src, dst,
+    ``cfg`` is a 10-tuple (heads, dh, te, aggs, has_gate, has_edge,
+    drop_rate, g_fwd, g_bwd, nt); the fwd/bwd kernels run with their
+    own tiles-per-step (the bwd working set is ~2x the fwd's, so it
+    uses a smaller G to stay inside scoped VMEM)."""
+    cfg9 = cfg[:7] + (cfg[7], cfg[9])  # body view with G = g_fwd
+    out, eij, _ = _run_fwd(cfg9, qkvg, e_all, bits, src, dst,
                            save_soft=False)
     return out, eij
 
 
 def _tile_core_fwd(cfg, qkvg, e_all, bits, src, dst):
-    cfg8 = cfg[:7] + (cfg[7],)
-    out, eij, (p_saved, den_deg) = _run_fwd(cfg8, qkvg, e_all, bits, src,
+    cfg9 = cfg[:7] + (cfg[7], cfg[9])
+    out, eij, (p_saved, den_deg) = _run_fwd(cfg9, qkvg, e_all, bits, src,
                                             dst, save_soft=True)
     return (out, eij), (qkvg, e_all, bits, src, dst, p_saved, den_deg)
 
 
 def _tile_core_bwd(cfg, residuals, cotangents):
-    cfg = cfg[:7] + (cfg[8],)          # 8-tuple view with G = g_bwd
-    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles = cfg
+    cfg = cfg[:7] + (cfg[8], cfg[9])   # body view with G = g_bwd
+    heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles, nt = cfg
     hidden = heads * dh
     qkvg, e_all, bits, src, dst, p_saved, den_deg = residuals
     g_out, g_eij = cotangents
     npad, ep = qkvg.shape[0], src.shape[0]
-    n_tiles = npad // NT
+    n_tiles = npad // nt
 
     names, arrays, in_specs = _collect_inputs(cfg, qkvg, e_all, bits,
                                               src, dst)
@@ -787,9 +800,9 @@ _tile_core.defvjp(_tile_core_fwd, _tile_core_bwd)
 # :306-393 (propagate/message), :310-313 (WO), :333 (WOe).
 # ---------------------------------------------------------------------------
 
-# proj cfg (body view, 10-tuple):
+# proj cfg (body view, 11-tuple — nt last, as everywhere):
 #   (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
-#    din, de)
+#    din, de, nt)
 def _proj_qkvg(cfg, refs, x_t, md):
     q = _dot(x_t, refs["w_qkvg"][:].astype(md)) \
         + refs["b_qkvg"][:].astype(_F32)
@@ -823,15 +836,15 @@ def _agg_out(cfg, t, md):
 
 def _proj_fwd_body(cfg, refs):
     (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
-     din, de) = cfg
+     din, de, nt) = cfg
     hidden = heads * dh
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, nt), 1)
     md = _mm_dtype(refs["x"].dtype)
 
     for g in range(g_tiles):
         en = pl.ds(g * te, te)
-        nn_ = pl.ds(g * NT, NT)
-        base = (pl.program_id(0) * g_tiles + g) * NT
+        nn_ = pl.ds(g * nt, nt)
+        base = (pl.program_id(0) * g_tiles + g) * nt
         x_t = refs["x"][nn_].astype(md)
         e_t = refs["e"][en].astype(md)
         qkvg = _proj_qkvg(cfg, refs, x_t, md)
@@ -891,9 +904,9 @@ _DN_ROWS = (((0,), (0,)), ((), ()))
 
 def _proj_bwd_body(cfg, refs):
     (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
-     din, de) = cfg
+     din, de, nt) = cfg
     hidden = heads * dh
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, NT), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, nt), 1)
     md = _mm_dtype(refs["x"].dtype)
 
     @pl.when(pl.program_id(0) == 0)
@@ -903,8 +916,8 @@ def _proj_bwd_body(cfg, refs):
 
     for g in range(g_tiles):
         en = pl.ds(g * te, te)
-        nn_ = pl.ds(g * NT, NT)
-        base = (pl.program_id(0) * g_tiles + g) * NT
+        nn_ = pl.ds(g * nt, nt)
+        base = (pl.program_id(0) * g_tiles + g) * nt
         x_t = refs["x"][nn_].astype(md)
         e_t = refs["e"][en].astype(md)
         qkvg = _proj_qkvg(cfg, refs, x_t, md)
@@ -950,7 +963,7 @@ def _proj_bwd_body(cfg, refs):
         alpha = alpha_raw if t["keep"] is None else alpha_raw * t["keep"]
         alpha_full = _dot(alpha.astype(md), S_m.T)
 
-        g_node = jnp.zeros((NT, hidden), _F32)
+        g_node = jnp.zeros((nt, hidden), _F32)
         off = 0
         for a in aggs:
             piece = g_out_full[:, off:off + hidden]
@@ -1049,7 +1062,7 @@ def _weight_block(shape):
 def _proj_collect(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
                   src, dst):
     (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
-     din, de) = cfg
+     din, de, nt) = cfg
     hidden = heads * dh
     w_e = hidden + heads * (1 + has_gate)
     names = ["x", "e", "w_qkvg", "b_qkvg", "w_eall", "b_eall",
@@ -1079,10 +1092,10 @@ def _proj_collect(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
 def _run_proj_fwd(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
                   src, dst, save_soft):
     (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
-     din, de) = cfg
+     din, de, nt) = cfg
     hidden = heads * dh
     npad, ep = x.shape[0], src.shape[0]
-    n_tiles = npad // NT
+    n_tiles = npad // nt
 
     names, arrays, in_specs = _proj_collect(cfg, x, e, wq, bq, we, be,
                                             wo, bo, woe, boe, bits, src,
@@ -1122,9 +1135,9 @@ def _run_proj_fwd(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
 def _proj_core(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits, src,
                dst):
     """Projection-fused forward: (attn_out [Np, Din], e_attn [Ep, De]).
-    ``cfg`` is an 11-tuple: (heads, dh, te, aggs, has_gate, has_edge,
-    drop_rate, g_fwd, g_bwd, din, de)."""
-    c = cfg[:7] + (cfg[7], cfg[9], cfg[10])
+    ``cfg`` is a 12-tuple: (heads, dh, te, aggs, has_gate, has_edge,
+    drop_rate, g_fwd, g_bwd, din, de, nt)."""
+    c = cfg[:7] + (cfg[7], cfg[9], cfg[10], cfg[11])
     attn_out, e_attn, _ = _run_proj_fwd(c, x, e, wq, bq, we, be, wo, bo,
                                         woe, boe, bits, src, dst,
                                         save_soft=False)
@@ -1133,7 +1146,7 @@ def _proj_core(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits, src,
 
 def _proj_core_fwd(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
                    src, dst):
-    c = cfg[:7] + (cfg[7], cfg[9], cfg[10])
+    c = cfg[:7] + (cfg[7], cfg[9], cfg[10], cfg[11])
     attn_out, e_attn, (p_saved, den_deg) = _run_proj_fwd(
         c, x, e, wq, bq, we, be, wo, bo, woe, boe, bits, src, dst,
         save_soft=True)
@@ -1142,15 +1155,15 @@ def _proj_core_fwd(cfg, x, e, wq, bq, we, be, wo, bo, woe, boe, bits,
 
 
 def _proj_core_bwd(cfg, residuals, cotangents):
-    c = cfg[:7] + (cfg[8], cfg[9], cfg[10])
+    c = cfg[:7] + (cfg[8], cfg[9], cfg[10], cfg[11])
     (heads, dh, te, aggs, has_gate, has_edge, drop_rate, g_tiles,
-     din, de) = c
+     din, de, nt) = c
     hidden = heads * dh
     (x, e, wq, bq, we, be, wo, bo, woe, boe, bits, src, dst, p_saved,
      den_deg) = residuals
     g_attn_out, g_e_attn = cotangents
     npad, ep = x.shape[0], src.shape[0]
-    n_tiles = npad // NT
+    n_tiles = npad // nt
     w_e = hidden + heads * (1 + has_gate)
 
     names, arrays, in_specs = _proj_collect(c, x, e, wq, bq, we, be, wo,
@@ -1232,17 +1245,19 @@ def gt_attention_tile_proj(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     tiles_per_step: Optional[int] = None,
+    tile_nodes: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v5 projection-fused attention block (see the v5 banner above).
     Returns (attn_out [Np, Din] — WO output, pre-dropout/residual;
     e_attn [Ep, De] — WOe output, pre-dropout/residual)."""
     npad, din = x.shape
     ep, de = e.shape
-    if npad % NT != 0 or ep % tile_edges != 0 \
-            or npad // NT != ep // tile_edges:
+    nt = int(tile_nodes) if tile_nodes else TILE_NODES
+    if npad % nt != 0 or ep % tile_edges != 0 \
+            or npad // nt != ep // tile_edges:
         raise ValueError(
-            f"batch is not tile-packed for tile_edges={tile_edges}: "
-            f"Np={npad}, Ep={ep}")
+            f"batch is not tile-packed for tile_edges={tile_edges} / "
+            f"tile_nodes={nt}: Np={npad}, Ep={ep}")
     aggs = tuple("sum" if a == "add" else a for a in aggregators)
     unsupported = [a for a in aggs if a not in ("sum", "mean")]
     if unsupported:
@@ -1252,9 +1267,9 @@ def gt_attention_tile_proj(
 
     heads = num_heads
     dh = hidden_dim // heads
-    tiles_per_step = _resolve_tiles_g(tiles_per_step)
-    g_fwd = _pick_tiles_per_step(npad // NT, int(tiles_per_step))
-    g_bwd = _pick_tiles_per_step(npad // NT,
+    tiles_per_step = _resolve_tiles_g(tiles_per_step, nt)
+    g_fwd = _pick_tiles_per_step(npad // nt, int(tiles_per_step))
+    g_bwd = _pick_tiles_per_step(npad // nt,
                                  max(1, int(tiles_per_step) // 2))
 
     rate = float(dropout_rate)
@@ -1265,7 +1280,7 @@ def gt_attention_tile_proj(
         bits = jnp.zeros((1,), jnp.uint32)
 
     cfg = (heads, dh, int(tile_edges), aggs, bool(has_gate), True,
-           rate, g_fwd, g_bwd, din, de)
+           rate, g_fwd, g_bwd, din, de, nt)
     return _proj_core(
         cfg, x, e, w_qkvg, b_qkvg.astype(_F32),
         w_eall, b_eall.astype(_F32), w_o, b_o.astype(_F32),
@@ -1287,6 +1302,7 @@ def gt_attention_tile_merged(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     tiles_per_step: Optional[int] = None,
+    tile_nodes: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Merged-operand tile attention (the production entry point; see
     module docstring). Returns (node_out [Np, hidden*A] in
@@ -1296,11 +1312,12 @@ def gt_attention_tile_merged(
     """
     npad = qkvg.shape[0]
     ep = edge_src.shape[0]
-    if npad % NT != 0 or ep % tile_edges != 0 \
-            or npad // NT != ep // tile_edges:
+    nt = int(tile_nodes) if tile_nodes else TILE_NODES
+    if npad % nt != 0 or ep % tile_edges != 0 \
+            or npad // nt != ep // tile_edges:
         raise ValueError(
-            f"batch is not tile-packed for tile_edges={tile_edges}: "
-            f"Np={npad}, Ep={ep}")
+            f"batch is not tile-packed for tile_edges={tile_edges} / "
+            f"tile_nodes={nt}: Np={npad}, Ep={ep}")
     aggs = tuple("sum" if a == "add" else a for a in aggregators)
     unsupported = [a for a in aggs if a not in ("sum", "mean")]
     if unsupported:
@@ -1316,9 +1333,9 @@ def gt_attention_tile_merged(
     heads = num_heads
     dh = hidden_dim // heads
     has_edge = e_all is not None
-    tiles_per_step = _resolve_tiles_g(tiles_per_step)
-    g_fwd = _pick_tiles_per_step(npad // NT, int(tiles_per_step))
-    g_bwd = _pick_tiles_per_step(npad // NT,
+    tiles_per_step = _resolve_tiles_g(tiles_per_step, nt)
+    g_fwd = _pick_tiles_per_step(npad // nt, int(tiles_per_step))
+    g_bwd = _pick_tiles_per_step(npad // nt,
                                  max(1, int(tiles_per_step) // 2))
 
     rate = float(dropout_rate)
@@ -1329,7 +1346,7 @@ def gt_attention_tile_merged(
         bits = jnp.zeros((1,), jnp.uint32)
 
     cfg = (heads, dh, int(tile_edges), aggs, bool(has_gate),
-           bool(has_edge), rate, g_fwd, g_bwd)
+           bool(has_edge), rate, g_fwd, g_bwd, nt)
     dummy = jnp.zeros((1,), qkvg.dtype)
     out, eij = _tile_core(
         cfg, qkvg, e_all if has_edge else dummy, bits,
@@ -1354,6 +1371,7 @@ def gt_attention_tile(
     dropout_rng: Optional[jax.Array] = None,
     tiles_per_step: Optional[int] = None,
     raw_layout: bool = False,
+    tile_nodes: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Separate-operand wrapper over :func:`gt_attention_tile_merged`
     (same contract as the lax path; requires a tile-packed batch).
@@ -1387,7 +1405,7 @@ def gt_attention_tile(
         qkvg, edge_src, edge_dst, num_heads, hidden, tile_edges,
         e_all=e_all, has_gate=has_gate, aggregators=aggregators,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng,
-        tiles_per_step=tiles_per_step)
+        tiles_per_step=tiles_per_step, tile_nodes=tile_nodes)
 
     aggs = tuple("sum" if a == "add" else a for a in aggregators)
     if len(aggs) > 1 and not raw_layout:

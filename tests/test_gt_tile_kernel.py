@@ -235,6 +235,147 @@ class TestTileKernelBf16:
         assert rel.max() < 0.15, rel.max()
 
 
+NT256_TE = 480      # lets a tile reach >127 nodes; ≥2 tiles overall
+
+
+@pytest.fixture(scope="module")
+def tiled_batch_nt256():
+    """Multi-graph node tiles (round-5 layout): up to 255 real nodes
+    per 256-row tile — roughly half the kernel issues per batch at 2x
+    the one-hot incidence FLOPs."""
+    graphs = get_tensor_data(
+        ["CCO", "c1ccccc1", "CC(=O)O", "C", "CCN",
+         "CC(=O)Nc1ccc(O)cc1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+         "c1ccc2ccccc2c1", "CCOC(=O)c1ccccc1", "CNC"] * 5,
+        [[float(i)] for i in range(50)], progress=False)
+    b = pad_graph_batch(graphs, tile_edges=NT256_TE, tile_nodes=256,
+                        tile_pack="ffd")
+    assert b.node_x.shape[0] // 256 >= 2
+    # the layout must really exercise >127 nodes in one tile
+    assert np.asarray(b.node_mask).reshape(-1, 256).sum(axis=1).max() > 127
+    return b
+
+
+class TestTileKernelNT256:
+    @pytest.mark.parametrize("cfg", CONFIGS)
+    def test_matches_lax(self, tiled_batch_nt256, cfg):
+        b = tiled_batch_nt256
+        kw = _inputs(b, gate=cfg["gate"], edge=cfg["edge"])
+        out_l, eij_l = gt_attention(**kw, aggregators=cfg["aggs"],
+                                    impl="lax")
+        out_t, eij_t = gt_attention(**kw, aggregators=cfg["aggs"],
+                                    impl="tile", tile_edges=NT256_TE,
+                                    tile_nodes=256)
+        nmask = np.asarray(b.node_mask) > 0
+        np.testing.assert_allclose(np.asarray(out_t)[nmask],
+                                   np.asarray(out_l)[nmask],
+                                   rtol=2e-5, atol=2e-5)
+        if cfg["edge"]:
+            emask = np.asarray(b.edge_mask) > 0
+            np.testing.assert_allclose(np.asarray(eij_t)[emask],
+                                       np.asarray(eij_l)[emask],
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_grads_match_lax(self, tiled_batch_nt256):
+        b = tiled_batch_nt256
+        kw = _inputs(b, gate=True, edge=True)
+        nmask = jnp.asarray(b.node_mask)
+        emask = jnp.asarray(b.edge_mask)
+        diff_keys = ["q", "k", "v", "gate_n", "e_bias", "e_val",
+                     "e_gate_logits"]
+
+        def loss(diff, impl):
+            full = dict(kw)
+            full.update(diff)
+            out, eij = gt_attention(
+                **full, aggregators=("sum", "mean"), impl=impl,
+                tile_edges=NT256_TE if impl == "tile" else None,
+                tile_nodes=256 if impl == "tile" else None)
+            return (jnp.sum((out * nmask[:, None]) ** 2)
+                    + jnp.sum((eij * emask[:, None]) ** 2))
+
+        diff = {kn: kw[kn] for kn in diff_keys}
+        g_l = jax.grad(lambda d: loss(d, "lax"))(diff)
+        g_t = jax.grad(lambda d: loss(d, "tile"))(diff)
+        for kn in diff_keys:
+            np.testing.assert_allclose(
+                np.asarray(g_t[kn]), np.asarray(g_l[kn]),
+                rtol=5e-4, atol=5e-4, err_msg=kn)
+
+    def test_trained_logit_scale(self, tiled_batch_nt256):
+        """The per-node softmax shift must stay exact with the wider
+        node window (a 256-column masked max instead of 128)."""
+        b = tiled_batch_nt256
+        kw = _inputs(b, gate=True, edge=True)
+        rng = np.random.default_rng(7)
+        ep, heads = kw["e_bias"].shape
+        kw["e_bias"] = jnp.asarray(
+            rng.normal(size=(ep, heads)) * 3.0
+            + rng.uniform(-2e4, 2e4, size=(ep, 1)), jnp.float32)
+        out_l, _ = gt_attention(**kw, aggregators=("sum", "mean"),
+                                impl="lax")
+        out_t, _ = gt_attention(**kw, aggregators=("sum", "mean"),
+                                impl="tile", tile_edges=NT256_TE,
+                                tile_nodes=256)
+        nmask = np.asarray(b.node_mask) > 0
+        np.testing.assert_allclose(np.asarray(out_t)[nmask],
+                                   np.asarray(out_l)[nmask],
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_model_forward_matches_lax(self, tiled_batch_nt256):
+        from gt_pyg_tpu.nn import GraphTransformerNet
+
+        b = tiled_batch_nt256
+        kwargs = dict(
+            node_dim_in=140, edge_dim_in=39, hidden_dim=32,
+            num_gt_layers=2, num_heads=4, dropout=0.0, norm="bn",
+            gate=True, gt_aggregators=("sum", "mean"),
+            aggregators=("sum", "mean", "max", "std"))
+        jb = jax.tree_util.tree_map(jnp.asarray, b)
+        m_lax = GraphTransformerNet(**kwargs, attn_impl="lax")
+        m_til = GraphTransformerNet(**kwargs, attn_impl="tile")
+        variables = m_lax.init({"params": jax.random.PRNGKey(0)}, jb,
+                               deterministic=True)
+        p_l, _ = m_lax.apply(variables, jb, deterministic=True)
+        p_t, _ = m_til.apply(variables, jb, deterministic=True)
+        n = int(b.num_graphs)
+        np.testing.assert_allclose(np.asarray(p_t)[:n],
+                                   np.asarray(p_l)[:n],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_proj_kernel_nt256(self, tiled_batch_nt256):
+        """GT_TPU_PROJ=on (v5) must also honor the wider node tiles."""
+        import os
+
+        from gt_pyg_tpu.nn import GraphTransformerNet
+
+        b = tiled_batch_nt256
+        kwargs = dict(
+            node_dim_in=140, edge_dim_in=39, hidden_dim=32,
+            num_gt_layers=1, num_heads=4, dropout=0.0, norm="bn",
+            gate=True, gt_aggregators=("sum", "mean"),
+            aggregators=("sum", "mean"))
+        jb = jax.tree_util.tree_map(jnp.asarray, b)
+        m_off = GraphTransformerNet(**kwargs, attn_impl="tile",
+                                    norm_fold="on")
+        variables = m_off.init({"params": jax.random.PRNGKey(0)}, jb,
+                               deterministic=True)
+        p_off, _ = m_off.apply(variables, jb, deterministic=True)
+        old = os.environ.get("GT_TPU_PROJ")
+        os.environ["GT_TPU_PROJ"] = "on"
+        try:
+            p_on, _ = m_off.apply(variables, jb, deterministic=True)
+        finally:
+            if old is None:
+                os.environ.pop("GT_TPU_PROJ", None)
+            else:
+                os.environ["GT_TPU_PROJ"] = old
+        n = int(b.num_graphs)
+        np.testing.assert_allclose(np.asarray(p_on)[:n],
+                                   np.asarray(p_off)[:n],
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestModelWithTileKernel:
     def test_model_forward_matches_lax(self, tiled_batch):
         from gt_pyg_tpu.nn import GraphTransformerNet

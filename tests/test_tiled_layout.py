@@ -48,8 +48,9 @@ class TestPlanTiles:
             plan_tiles([10], [TE + 1], TE)
 
 
-def _check_tiled_invariants(batch, te):
-    NT = TILE_NODES
+def _check_tiled_invariants(batch, te, nt=None):
+    NT = nt if nt is not None else TILE_NODES
+    assert getattr(batch, "tile_nodes", TILE_NODES) == NT
     np_, ep = batch.node_x.shape[0], batch.edge_attr.shape[0]
     assert np_ % NT == 0 and ep % te == 0
     n_tiles = np_ // NT
@@ -115,6 +116,31 @@ class TestTiledPadGraphBatch:
         batch = pad_graph_batch(graphs, tile_edges=TE)
         jb = jax.tree_util.tree_map(jnp.asarray, batch)
         assert jb.tile_edges == TE  # survives tree_map as aux data
+        assert jb.tile_nodes == TILE_NODES
+
+    def test_multigraph_node_tiles_nt256(self, graphs):
+        """The round-5 layout: tile_nodes=256 packs ~2x the graphs per
+        tile (up to 255 real nodes); all tile invariants hold with the
+        bigger node window, and the layout tags ride the pytree aux."""
+        many = graphs * 5                      # ~500 nodes, ~1.1k edges
+        batch = pad_graph_batch(many, tile_edges=384, tile_nodes=256,
+                                tile_pack="ffd")
+        _check_tiled_invariants(batch, 384, nt=256)
+        assert batch.node_x.shape[0] // 256 >= 2   # multi-tile coverage
+        # at least one tile really holds >127 nodes (the whole point)
+        nmask = np.asarray(batch.node_mask)
+        fills = nmask.reshape(-1, 256).sum(axis=1)
+        assert fills.max() > 127
+        jb = jax.tree_util.tree_map(jnp.asarray, batch)
+        assert jb.tile_nodes == 256 and jb.tile_edges == 384
+
+    def test_nt256_feature_integrity(self, graphs):
+        many = graphs * 5
+        batch = pad_graph_batch(many, tile_edges=384, tile_nodes=256)
+        nmask = np.asarray(batch.node_mask) > 0
+        got_x = np.asarray(batch.node_x)[nmask]
+        want_x = np.concatenate([g.x for g in many])
+        np.testing.assert_array_equal(got_x, want_x)
 
 
 class TestTiledDeviceDataset:
