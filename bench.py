@@ -316,7 +316,7 @@ def measure(args, batch_graphs):
         "ffn_blocks": {"rb": os.environ.get("GT_TPU_FFN_RB", "(auto)"),
                        "g": os.environ.get("GT_TPU_FFN_G", "(auto)")},
         "proj_fuse": os.environ.get("GT_TPU_PROJ", "auto"),
-        "shift_gather": os.environ.get("GT_TPU_SHIFT", "matmul"),
+        "shift_gather": os.environ.get("GT_TPU_SHIFT", "select"),
         "ffn_prng": os.environ.get("GT_TPU_FFN_PRNG", "auto"),
         "ffn_act16": os.environ.get("GT_TPU_FFN_ACT16", "1"),
         "tiles_g": os.environ.get("GT_TPU_TILES_G", "8"),

@@ -74,6 +74,12 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
         path = out_dir / f"model_{mi}.ckpt"
         if args.overwrite or not path.exists():
             return True
+        if args.per_endpoint_select and any(
+                not (out_dir / f"model_{mi}.{ep}.ckpt").exists()
+                for ep in endpoints):
+            print(f"model {mi}: missing per-endpoint checkpoints; "
+                  "retraining")
+            return True
         try:
             extra = get_checkpoint_info(path).get("extra") or {}
         except Exception as exc:
@@ -135,15 +141,51 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
                        "saved_at_epoch": int(epoch),
                        "best_epoch": int(best_epoch[k])})
 
+    def save_members_e(epoch, best_states_e, best_rae_e, best_epoch_e):
+        """Per-(endpoint, member) best states → model_{mi}.{ep}.ckpt.
+
+        One bulk host fetch of the stacked [E, M, ...] tree, then host
+        slicing — E*M eager device gathers over the tunnel would pay
+        E*M round trips."""
+        host = jax.tree_util.tree_map(np.asarray, best_states_e)
+        for e, ep_name in enumerate(endpoints):
+            for k, mi in enumerate(todo):
+                if not np.isfinite(best_rae_e[e, k]):
+                    continue
+                best = jax.tree_util.tree_map(
+                    lambda x, e=e, k=k: x[e, k], host)
+                save_model_checkpoint(
+                    model, best, out_dir / f"model_{mi}.{ep_name}.ckpt",
+                    best_metric=float(best_rae_e[e, k]),
+                    extra={"endpoints": endpoints, "vmap_ensemble": True,
+                           "selected_endpoint": ep_name,
+                           "saved_at_epoch": int(epoch),
+                           "best_epoch": int(best_epoch_e[e, k])})
+
     # persist the stacked best states every 100 epochs so a killed run
     # still lands its members (the final call re-saves at fit end)
     result = ens.fit(states, tr_ds, va_ds, checkpoint_cb=save_members,
-                     checkpoint_every=100)
+                     checkpoint_every=100,
+                     select_per_endpoint=args.per_endpoint_select,
+                     checkpoint_cb_per_endpoint=(
+                         save_members_e if args.per_endpoint_select
+                         else None))
     save_members(args.epochs, result["best_states"], result["best_rae"],
                  result["best_epoch"])
+    if args.per_endpoint_select:
+        save_members_e(args.epochs, result["best_states_per_endpoint"],
+                       result["best_rae_per_endpoint"],
+                       result["best_epoch_per_endpoint"])
     for k, mi in enumerate(todo):
         print(f"model {mi}: best val RAE {result['best_rae'][k]:.4f} "
               f"@ epoch {int(result['best_epoch'][k])}", flush=True)
+        if args.per_endpoint_select:
+            bre = result["best_rae_per_endpoint"]
+            bee = result["best_epoch_per_endpoint"]
+            print("  per-endpoint best (RAE @ epoch): "
+                  + ", ".join(f"{ep}={bre[e, k]:.3f}@{int(bee[e, k])}"
+                              for e, ep in enumerate(endpoints)),
+                  flush=True)
 
 
 def _train_members(args, endpoints, tr_ds, va_ds, out_dir):
@@ -201,6 +243,21 @@ def _ensemble_predict(ckpts, graphs, endpoints, batch_eval=1024):
     return np.mean(all_preds, axis=0), all_preds
 
 
+def _ensemble_predict_per_endpoint(out_dir, member_indices, graphs,
+                                   endpoints, batch_eval=1024):
+    """Per-endpoint-selected ensemble prediction matrix [N, E]: column e
+    is the member-mean prediction of the states selected on endpoint e's
+    own val RAE (model_{i}.{endpoint}.ckpt)."""
+    cols = []
+    for e, ep_name in enumerate(endpoints):
+        ckpts = [out_dir / f"model_{mi}.{ep_name}.ckpt"
+                 for mi in member_indices]
+        preds, _ = _ensemble_predict(ckpts, graphs, endpoints,
+                                     batch_eval=batch_eval)
+        cols.append(preds[:, e])
+    return np.stack(cols, axis=1)
+
+
 def _eval_set(name, preds, graphs, endpoints, n_boot, report):
     from gt_pyg_tpu.train.metrics import (bootstrap_metrics,
                                           evaluate_predictions)
@@ -247,6 +304,12 @@ def main(argv=None):
                    help="(vmap mode) share ONE minibatch stream across "
                         "members instead of per-member independent "
                         "shuffles (the pre-round-4 behavior)")
+    p.add_argument("--per-endpoint-select", action="store_true",
+                   help="(vmap mode) additionally track each member's "
+                        "best state PER ENDPOINT and evaluate the "
+                        "per-endpoint-selected ensemble alongside the "
+                        "average-RAE one (round-4 confound (a) "
+                        "isolation; see train/ensemble.py)")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--test-csv", default=None,
                    help="held-out test CSV (raw assay columns OK) for "
@@ -301,7 +364,8 @@ def main(argv=None):
         else:
             _train_members(args, endpoints, tr_ds, va_ds, out_dir)
 
-    ckpts = sorted(out_dir.glob("model_*.ckpt"),
+    ckpts = sorted((p for p in out_dir.glob("model_*.ckpt")
+                    if p.stem.split("_")[1].isdigit()),
                    key=lambda pth: int(pth.stem.split("_")[1]))
     if not ckpts:
         print("no member checkpoints found; nothing to ensemble")
@@ -313,6 +377,21 @@ def main(argv=None):
               "members": [c.name for c in ckpts]}
     va_preds, _ = _ensemble_predict(ckpts, va_ds, endpoints)
     _eval_set("val", va_preds, va_ds, endpoints, args.n_boot, report)
+
+    # per-endpoint-selected construction: column e of the prediction
+    # matrix comes from the members' best-on-endpoint-e states
+    pe_members = None
+    if args.per_endpoint_select:
+        pe_members = [int(c.stem.split("_")[1]) for c in ckpts
+                      if all((out_dir / f"{c.stem}.{ep}.ckpt").exists()
+                             for ep in endpoints)]
+        if pe_members:
+            va_pe = _ensemble_predict_per_endpoint(
+                out_dir, pe_members, va_ds, endpoints)
+            _eval_set("val_per_endpoint_select", va_pe, va_ds,
+                      endpoints, args.n_boot, report)
+        else:
+            print("no complete per-endpoint checkpoint sets found")
 
     if args.test_csv:
         from gt_pyg_tpu.data.datasets import clip_to_train_range
@@ -330,6 +409,13 @@ def main(argv=None):
         te_preds = clip_to_train_range(
             te_preds, np.nanmin(tr_y, axis=0), np.nanmax(tr_y, axis=0))
         _eval_set("test", te_preds, te_ds, endpoints, args.n_boot, report)
+        if pe_members:
+            te_pe = _ensemble_predict_per_endpoint(
+                out_dir, pe_members, te_ds, endpoints)
+            te_pe = clip_to_train_range(
+                te_pe, np.nanmin(tr_y, axis=0), np.nanmax(tr_y, axis=0))
+            _eval_set("test_per_endpoint_select", te_pe, te_ds,
+                      endpoints, args.n_boot, report)
 
     with open(out_dir / "ensemble_metrics.json", "w") as f:
         json.dump(report, f, indent=1, default=float)

@@ -228,7 +228,15 @@ def _dot_t_soft(a, b, md):
 def _shift_gather_mode():
     import os
 
-    return os.environ.get("GT_TPU_SHIFT", "matmul").lower()
+    # Default reverted to "select" in round 5: the matmul shift gather
+    # wins 0.7 ms/step (43.25 vs 43.92 ms) but every round-4 sweep row
+    # that trained under it showed worse 200-step deterministic eval
+    # loss (runs/sweep_r4.jsonl: 0.90-0.93 vs 0.805 for select) and it
+    # is a named suspect in the round-4 ensemble regression. The
+    # trained-horizon A/B (tools/r5_queue_stage1.sh) decides whether
+    # matmul is re-promoted; until the data supports it, a default that
+    # touches training numerics stays on the exact path.
+    return os.environ.get("GT_TPU_SHIFT", "select").lower()
 
 
 def _dot_gather_shift(sd, vals_t, md):
@@ -388,8 +396,8 @@ def _recompute_tile(cfg, refs, en, nn_, base, iota, qkvg=None,
         m_node_t = jnp.concatenate(m_cols, axis=0)      # [H, NT]
         if _shift_gather_mode() == "select":
             # v4 gather: exact per-head one-hot select-sums (f32 VPU) —
-            # kept behind GT_TPU_SHIFT=select for A/B; ~2x the VPU
-            # passes of the matmul gather
+            # the default; ~2x the VPU passes of the matmul gather but
+            # bit-exact (see _shift_gather_mode for the A/B evidence)
             s_edge = jnp.concatenate(
                 [jnp.sum(jnp.where(sd_b, m_node_t[hh:hh + 1, :], 0.0),
                          axis=1, keepdims=True)

@@ -29,6 +29,17 @@ Best-state tracking is per member and device-resident: a ``[M]`` bool
 improvement mask (host-computed from per-member validation RAE) selects
 between the stacked best and current states with one jitted
 ``jnp.where`` per leaf.
+
+Per-endpoint selection (``fit(select_per_endpoint=True)``) additionally
+tracks, for every (endpoint, member) pair, the member state at its best
+val RAE *on that endpoint* — leaves gain a leading ``[E, M]`` axis pair.
+Rationale (round-4 ensemble post-mortem, RESULTS.md): selecting each
+member on the 9-endpoint AVERAGE RAE can pick an epoch that is off-peak
+for a specific endpoint, and that mismatch grows as member streams
+decorrelate; the reference's nine independent runs suffer the same
+average-selection, so beating its per-endpoint rows may hinge on
+endpoint-resolved selection. Both selections ride the same training
+run, so one run yields both constructions for A/B.
 """
 
 from __future__ import annotations
@@ -82,6 +93,13 @@ class VmapEnsembleTrainer:
         self._upd_best = jax.jit(
             lambda best, cur, imp: jax.tree_util.tree_map(
                 lambda b, s: jnp.where(_bmask(imp, s), s, b), best, cur))
+        # per-endpoint updater: best leaves are [E, M, ...], cur leaves
+        # [M, ...] broadcast over the endpoint axis, mask imp is [E, M]
+        self._upd_best_e = jax.jit(
+            lambda best, cur, imp: jax.tree_util.tree_map(
+                lambda b, s: jnp.where(
+                    imp.reshape(imp.shape + (1,) * (s.ndim - 1)),
+                    s[None], b), best, cur))
 
     # ---- state ----
     def init_states(self, sample_batch) -> Dict[str, Any]:
@@ -278,7 +296,9 @@ class VmapEnsembleTrainer:
     # ---- full fit loop ----
     def fit(self, states, train_graphs, val_graphs,
             eval_every: Optional[int] = None,
-            checkpoint_cb=None, checkpoint_every: int = 0
+            checkpoint_cb=None, checkpoint_every: int = 0,
+            select_per_endpoint: bool = False,
+            checkpoint_cb_per_endpoint=None
             ) -> Dict[str, Any]:
         """Train all members; returns stacked best states + history.
 
@@ -290,7 +310,18 @@ class VmapEnsembleTrainer:
         ``checkpoint_cb(epoch, best_states, best_rae, best_epoch)`` is
         invoked every ``checkpoint_every`` epochs (and at the end) once
         any best state exists — long multi-member runs survive
-        interruption by persisting the stacked best states mid-flight."""
+        interruption by persisting the stacked best states mid-flight.
+
+        ``select_per_endpoint`` additionally tracks each member's best
+        state PER ENDPOINT (leaves [E, M, ...], device-resident; E×M
+        copies of the params — ~1 GB at 9×9 on the production model,
+        well inside HBM). The result then carries
+        ``best_states_per_endpoint`` / ``best_rae_per_endpoint`` /
+        ``best_epoch_per_endpoint`` alongside the average-RAE selection,
+        so one run yields both constructions.
+        ``checkpoint_cb_per_endpoint(epoch, best_states_e [E, M, ...],
+        best_rae_e [E, M], best_epoch_e [E, M])`` persists them on the
+        same cadence as ``checkpoint_cb``."""
         c = self.cfg
         k_eval = int(eval_every if eval_every is not None
                      else max(1, c.eval_every))
@@ -311,6 +342,10 @@ class VmapEnsembleTrainer:
         best_rae = np.full(self.m, np.inf)
         best_epoch = np.zeros(self.m, np.int64)
         best_states = None
+        n_ep = len(c.endpoints)
+        best_rae_e = np.full((n_ep, self.m), np.inf)
+        best_epoch_e = np.zeros((n_ep, self.m), np.int64)
+        best_states_e = None
         history: List[Dict[str, Any]] = []
 
         for epoch in range(1, c.epochs + 1):
@@ -328,18 +363,39 @@ class VmapEnsembleTrainer:
                 rec["val_rae"] = raes.tolist()
                 rec["val_mae"] = [pm["Average"]["MAE"]
                                   for pm in per_member]
+                cur = {"params": states["params"],
+                       "batch_stats": states["batch_stats"]}
                 improved = np.isfinite(raes) & (raes < best_rae)
                 if improved.any():
                     best_rae = np.where(improved, raes, best_rae)
                     best_epoch = np.where(improved, epoch, best_epoch)
-                    cur = {"params": states["params"],
-                           "batch_stats": states["batch_stats"]}
                     if best_states is None:
                         best_states = jax.tree_util.tree_map(
                             lambda x: x.copy(), cur)
                     else:
                         best_states = self._upd_best(
                             best_states, cur, jnp.asarray(improved))
+                if select_per_endpoint:
+                    # [E, M] per-endpoint val RAE; endpoints with too
+                    # few finite val labels report no RAE (NaN here) and
+                    # their slot keeps the last best / fallback state
+                    raes_e = np.array(
+                        [[pm[ep].get("RAE", np.nan) for pm in per_member]
+                         for ep in c.endpoints], dtype=np.float64)
+                    rec["val_rae_per_endpoint"] = raes_e.tolist()
+                    imp_e = np.isfinite(raes_e) & (raes_e < best_rae_e)
+                    if imp_e.any():
+                        best_rae_e = np.where(imp_e, raes_e, best_rae_e)
+                        best_epoch_e = np.where(imp_e, epoch,
+                                                best_epoch_e)
+                        if best_states_e is None:
+                            best_states_e = jax.tree_util.tree_map(
+                                lambda x: jnp.broadcast_to(
+                                    x[None],
+                                    (n_ep,) + x.shape).copy(), cur)
+                        else:
+                            best_states_e = self._upd_best_e(
+                                best_states_e, cur, jnp.asarray(imp_e))
             rec["time"] = time.time() - t0
             history.append(rec)
             if (checkpoint_cb is not None and best_states is not None
@@ -347,6 +403,10 @@ class VmapEnsembleTrainer:
                     and (epoch % checkpoint_every == 0
                          or epoch == c.epochs)):
                 checkpoint_cb(epoch, best_states, best_rae, best_epoch)
+                if (checkpoint_cb_per_endpoint is not None
+                        and best_states_e is not None):
+                    checkpoint_cb_per_endpoint(epoch, best_states_e,
+                                               best_rae_e, best_epoch_e)
             if epoch == 1 or epoch % c.log_every == 0 or epoch == c.epochs:
                 vr = rec.get("val_rae")
                 logger.info(
@@ -364,8 +424,17 @@ class VmapEnsembleTrainer:
                 lambda x: x.copy(),
                 {"params": states["params"],
                  "batch_stats": states["batch_stats"]})
-        return {"state": states, "best_states": best_states,
-                "best_rae": best_rae, "best_epoch": best_epoch,
-                "history": history, "train_mins": train_mins,
-                "train_maxs": train_maxs,
-                "task_scale": np.asarray(task_scale)}
+        out = {"state": states, "best_states": best_states,
+               "best_rae": best_rae, "best_epoch": best_epoch,
+               "history": history, "train_mins": train_mins,
+               "train_maxs": train_maxs,
+               "task_scale": np.asarray(task_scale)}
+        if select_per_endpoint:
+            if best_states_e is None:
+                best_states_e = jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(
+                        x[None], (n_ep,) + x.shape).copy(), best_states)
+            out["best_states_per_endpoint"] = best_states_e
+            out["best_rae_per_endpoint"] = best_rae_e
+            out["best_epoch_per_endpoint"] = best_epoch_e
+        return out

@@ -235,6 +235,67 @@ class TestFit:
         assert len(evald) == cfg.epochs // 2
         assert all(h["epoch"] % 2 == 0 for h in evald)
 
+    def test_per_endpoint_selection(self, setup):
+        """select_per_endpoint must track, for every (endpoint, member),
+        a state whose val RAE on that endpoint is <= the average-selected
+        state's (selection over a superset of epochs on the tracked
+        metric itself), and the per-endpoint checkpoint callback must
+        fire on the same cadence as the member one."""
+        model, cfg, ds = setup
+        ens = VmapEnsembleTrainer(model, cfg, num_members=2,
+                                  member_seeds=[1000, 1001])
+        sample = next(iter_batches(ds, 4, node_multiple=32,
+                                   edge_multiple=64, num_tasks=2))
+        states = ens.init_states(sample)
+        calls_e = []
+        # val split needs >=3 labeled graphs per endpoint for the
+        # per-endpoint official metrics (per_task_metrics n>=3 gate)
+        res = ens.fit(states, ds[:6], ds[6:],
+                      select_per_endpoint=True,
+                      checkpoint_cb=lambda ep, bs, br, be: None,
+                      checkpoint_cb_per_endpoint=(
+                          lambda ep, bs, br, be: calls_e.append(ep)),
+                      checkpoint_every=2)
+        assert calls_e == [2, 4]
+        bse = res["best_states_per_endpoint"]
+        bre = res["best_rae_per_endpoint"]
+        bee = res["best_epoch_per_endpoint"]
+        n_e, n_m = len(cfg.endpoints), 2
+        assert bre.shape == (n_e, n_m)
+        assert bee.shape == (n_e, n_m)
+        for leaf in jax.tree_util.tree_leaves(bse["params"]):
+            assert leaf.shape[:2] == (n_e, n_m)
+        assert np.all(np.isfinite(bre))
+        # cross-check against the history: the tracked minimum must
+        # equal the min of the logged per-endpoint RAEs
+        logged = np.array([h["val_rae_per_endpoint"]
+                           for h in res["history"]
+                           if "val_rae_per_endpoint" in h])  # [k, E, M]
+        np.testing.assert_allclose(bre, np.nanmin(logged, axis=0),
+                                   rtol=1e-12)
+        # per-endpoint best is at least as good as the average-selected
+        # epoch's RAE on that endpoint (selection optimality)
+        by_epoch = {h["epoch"]: np.array(h["val_rae_per_endpoint"])
+                    for h in res["history"]
+                    if "val_rae_per_endpoint" in h}
+        for k in range(n_m):
+            avg_epoch = int(res["best_epoch"][k])
+            for e in range(n_e):
+                assert bre[e, k] <= by_epoch[avg_epoch][e, k] + 1e-12
+        # the stored state for (e, m) must reproduce: evaluating it on
+        # the val set gives exactly the tracked best RAE
+        dd_va = ens.inner._get_dd(ds[6:])
+        from gt_pyg_tpu.data.loader import stack_labels
+        from gt_pyg_tpu.train.losses import compute_task_scales
+        y_tr, m_tr = stack_labels(ds[:6])
+        ts = jnp.asarray(compute_task_scales(y_tr, m_tr))
+        for e in range(n_e):
+            sel = jax.tree_util.tree_map(lambda x, e=e: x[e], bse)
+            per_member, *_ = ens.evaluate(sel, dd_va, ts, cfg.endpoints)
+            for k in range(n_m):
+                got = per_member[k][cfg.endpoints[e]]["RAE"]
+                np.testing.assert_allclose(got, bre[e, k], rtol=1e-5)
+
     def test_evaluate_per_member_shapes(self, setup):
         model, cfg, ds = setup
         ens = VmapEnsembleTrainer(model, cfg, num_members=3)

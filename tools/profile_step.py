@@ -25,6 +25,7 @@ def main():
                    choices=["auto", "fused", "xla"])
     p.add_argument("--batch-graphs", type=int, default=2048)
     p.add_argument("--tile-edges", type=int, default=256)
+    p.add_argument("--tile-nodes", type=int, default=128)
     p.add_argument("--trace", default=None,
                    help="directory for a jax.profiler trace (5 steps)")
     p.add_argument("--steps", type=int, default=30)
@@ -49,7 +50,8 @@ def main():
     from gt_pyg_tpu.train.trainer import init_on_host
 
     tile_edges = args.tile_edges if args.attn_impl == "tile" else None
-    batch = build_batch(args.batch_graphs, tile_edges)
+    batch = build_batch(args.batch_graphs, tile_edges,
+                        tile_nodes=args.tile_nodes)
     model = GraphTransformerNet(
         node_dim_in=140, edge_dim_in=39, hidden_dim=128,
         num_gt_layers=NUM_LAYERS, num_heads=8, dropout=0.3, norm="bn",

@@ -71,8 +71,8 @@ def main():
             os.environ[k] = v
         margs = argparse.Namespace(
             attn_impl="tile", ffn_impl="auto", norm_fold="auto",
-            tile_edges=256, tile_pack="ffd", steps=args.steps,
-            warmup_steps=50)
+            tile_edges=256, tile_pack="ffd", tile_nodes=128,
+            steps=args.steps, warmup_steps=50)
         t0 = time.time()
         try:
             r = bench.measure(margs, args.batch)
