@@ -146,7 +146,10 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
 
         One bulk host fetch of the stacked [E, M, ...] tree, then host
         slicing — E*M eager device gathers over the tunnel would pay
-        E*M round trips."""
+        E*M round trips. The fetch is ~E*M*params (~1 GB at 9x9), so
+        mid-run insurance saves run at 3x the member-checkpoint cadence."""
+        if epoch % 300 and epoch != args.epochs:
+            return
         host = jax.tree_util.tree_map(np.asarray, best_states_e)
         for e, ep_name in enumerate(endpoints):
             for k, mi in enumerate(todo):

@@ -50,6 +50,17 @@ VARIANTS = [
     # VERDICT item 6: the two sweep-hole rows, post-PRNG-seed-fix
     ("v5_kprng", dict(_V5), (256, 128)),
     ("v5_kprng_rb1024", dict(_V5, GT_TPU_FFN_RB="1024"), (256, 128)),
+    # round-5 trace finding: the fused FFN kernels are ~40% of the step
+    # at 7-10x their rooflines while profiling "Compute"-bound — probe
+    # the block-serialization hypothesis on the v4 path (round 4 only
+    # swept RB under the demoted v5 config)
+    ("ffn_rb1024", {"GT_TPU_FFN_RB": "1024"}, (512, 256)),
+    ("ffn_rb2048", {"GT_TPU_FFN_RB": "2048"}, (512, 256)),
+    ("ffn_rb1024_bytes", {"GT_TPU_FFN_RB": "1024",
+                          "GT_TPU_FFN_PRNG": "bytes"}, (512, 256)),
+    ("ffn_g4", {"GT_TPU_FFN_G": "4"}, (512, 256)),
+    ("ffn_g8_rb256", {"GT_TPU_FFN_G": "8", "GT_TPU_FFN_RB": "256"},
+     (512, 256)),
 ]
 
 
