@@ -196,10 +196,22 @@ class GraphTransformerNet(nn.Module):
         # sorted_ids must be False there (it gates multi_aggregate's
         # scatter-free rowptr counts, which require truly sorted ids).
         bp = batch.y.shape[0]
-        g = multi_aggregate(h, batch.node_graph, bp + 1,
+        # Under bf16 compute, round the pooled stream to the compute
+        # dtype (the residual adds promote h to true f32), then keep it
+        # stored f32 so the scatter path still accumulates in f32 —
+        # this makes the values exactly bf16-representable, which is
+        # the exactness contract of the MXU pooling-moments kernel
+        # (ops/pallas/pool.py); rounding here is one more bf16 rounding
+        # of an already-bf16 compute stream.
+        h_pool = h
+        lowp = self.dtype == jnp.bfloat16
+        if lowp and h.dtype != jnp.bfloat16:
+            h_pool = h.astype(jnp.bfloat16).astype(h.dtype)
+        g = multi_aggregate(h_pool, batch.node_graph, bp + 1,
                             tuple(self.aggregators),
                             sorted_ids=batch.tile_edges is None,
-                            max_per_segment=self.max_nodes_per_graph)[:bp]
+                            max_per_segment=self.max_nodes_per_graph,
+                            lowp_exact=lowp)[:bp]
 
         head_in_dim = len(self.aggregators) * self.hidden_dim
         latent = make_norm(self.norm, head_in_dim, self.bn_axis_name,

@@ -255,6 +255,26 @@ def segment_median(x, ids, num_segments, max_per_segment, sorted_ids=True):
     return jnp.where((cnt > 0).reshape((-1,) + (1,) * (x.ndim - 1)), med, 0.0)
 
 
+def _use_pool_matmul(x, lowp_exact: bool) -> bool:
+    """Gate for the MXU segment-moments kernel (ops/pallas/pool.py).
+
+    Engages only when the one-hot dot is EXACT for the data: x already
+    bf16, or f32 that the caller certifies is bf16-representable
+    (``lowp_exact`` — e.g. a bf16 stream promoted by a 0/1 mask
+    multiply, the flagship pooling case). ``GT_TPU_POOL=matmul`` forces
+    it (interpret mode included, for CPU tests), ``off`` disables."""
+    mode = os.environ.get("GT_TPU_POOL", "auto").lower()
+    if mode == "off" or x.ndim != 2:
+        return False
+    ok_dtype = (x.dtype == jnp.bfloat16
+                or (x.dtype == jnp.float32 and lowp_exact))
+    if mode == "matmul":
+        return ok_dtype
+    from .pallas.pool import _should_interpret
+
+    return ok_dtype and not _should_interpret()
+
+
 def multi_aggregate(
     x,
     ids,
@@ -262,6 +282,7 @@ def multi_aggregate(
     aggregators: Sequence[str],
     sorted_ids: bool = True,
     max_per_segment: Optional[int] = None,
+    lowp_exact: bool = False,
 ):
     """PyG MultiAggregation(mode="cat"): apply each aggregator over the
     segments and concatenate along the last axis.
@@ -270,7 +291,10 @@ def multi_aggregate(
     Returns [num_segments, ... * len(aggregators)].
 
     With ``max_per_segment`` set (and sorted ids), sum/mean/max/min/var/
-    std ride the scatter-free ELL-window path.
+    std ride the scatter-free ELL-window path. ``lowp_exact`` asserts
+    that f32 ``x`` values are exactly bf16-representable, unlocking the
+    MXU moments kernel for the sum/mean/var/std family (see
+    :func:`_use_pool_matmul`).
     """
     ell = (max_per_segment
            if (USE_ELL and max_per_segment is not None and sorted_ids)
@@ -285,6 +309,15 @@ def multi_aggregate(
     # flagship 43.8 ms step (pooling scatters are serialization-bound on
     # TPU, ~15x off HBM speed-of-light).
     memo = {}
+
+    needs_moments = any(a in ("sum", "add", "mean", "var", "std")
+                        for a in aggregators)
+    if needs_moments and ell is None and _use_pool_matmul(x, lowp_exact):
+        from .pallas.pool import pool_moments
+
+        s, ss, cnt = pool_moments(x, ids, num_segments)
+        memo["sum"], memo["sumsq"] = s, ss
+        memo["cnt"] = cnt.reshape((-1,) + (1,) * (x.ndim - 1))
 
     def _counts():
         if "cnt" not in memo:
