@@ -99,6 +99,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=2000)
     p.add_argument("--out", default="runs/seed_study")
     p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--no-eval", action="store_true",
+                   help="train only (a queue evaluates later in one "
+                        "--eval-only pass — per-seed invocations skip "
+                        "the test-set featurize/bootstrap cost)")
     p.add_argument("--n-boot", type=int, default=1000)
     args = p.parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",")]
@@ -108,6 +112,8 @@ def main(argv=None):
     if not args.eval_only:
         for s in seeds:
             train_seed(s, base / f"s{s}", args.epochs)
+    if args.no_eval:
+        return 0
 
     import pandas as pd
 
