@@ -230,16 +230,31 @@ def _train_members(args, endpoints, tr_ds, va_ds, out_dir):
               flush=True)
 
 
+_PREDICT_TRAINER = {}
+
+
 def _ensemble_predict(ckpts, graphs, endpoints, batch_eval=1024):
-    """Mean prediction over ensemble members for a featurized set."""
+    """Mean prediction over ensemble members for a featurized set.
+
+    One ``Trainer`` (= one jitted predict program per dataset shape) is
+    reused across ALL checkpoints of an architecture: a fresh Trainer
+    per member recompiles the predict function per checkpoint, which at
+    9 members × 9 endpoints × 2 splits costs ~2 h of tunnel compiles
+    for ~3 min of actual prediction."""
     from gt_pyg_tpu.checkpoint import load_model_checkpoint
     from gt_pyg_tpu.train import Trainer, TrainConfig
 
     all_preds = []
     for path in ckpts:
         model, state, _ = load_model_checkpoint(path)
-        trainer = Trainer(model, TrainConfig(endpoints=tuple(endpoints),
-                                             batch_eval=batch_eval))
+        key = (tuple(endpoints), batch_eval,
+               getattr(model, "hidden_dim", None),
+               getattr(model, "num_gt_layers", None))
+        trainer = _PREDICT_TRAINER.get(key)
+        if trainer is None:
+            trainer = Trainer(model, TrainConfig(
+                endpoints=tuple(endpoints), batch_eval=batch_eval))
+            _PREDICT_TRAINER[key] = trainer
         all_preds.append(trainer.predict(
             {"params": state["params"],
              "batch_stats": state.get("batch_stats", {})}, graphs))
