@@ -141,6 +141,33 @@ class TestTrainerDP:
             else:
                 os.environ["GT_TPU_PROJ"] = old
 
+    def test_dp_with_pooling_moments_kernel(self, graphs, monkeypatch):
+        """GT_TPU_POOL=matmul (the round-5 MXU pooling-moments kernel,
+        auto-on for the bf16 TPU fast path) under a 4-device DP mesh:
+        pallas_call inside shard_map with per-shard segment ids — the
+        kernel's multi-device coverage. The DP epoch must match the
+        scatter-pooling epoch bit-for-bit is NOT required (summation
+        order differs); finite-and-close is."""
+        import jax.numpy as jnp_
+
+        def one_epoch():
+            model = _model(bn_axis_name="data", attn_impl="tile",
+                           norm_fold="on", dtype=jnp_.bfloat16)
+            trainer = Trainer(model, _cfg(mesh_devices=4, tile_edges=96,
+                                          tiles_multiple=1))
+            state = trainer.init_state(_sample(graphs, tile_edges=96))
+            ts = jnp.ones((1,), jnp.float32)
+            _, loss, _ = trainer.train_epoch(
+                state, graphs, ts, epoch=1, rng=jax.random.PRNGKey(0))
+            return float(loss)
+
+        monkeypatch.setenv("GT_TPU_POOL", "off")
+        ref = one_epoch()
+        monkeypatch.setenv("GT_TPU_POOL", "matmul")
+        got = one_epoch()
+        assert np.isfinite(got)
+        np.testing.assert_allclose(got, ref, rtol=2e-2)
+
     def test_too_many_devices_raises(self, graphs):
         with pytest.raises(ValueError, match="devices are visible"):
             Trainer(_model(), _cfg(mesh_devices=999))
