@@ -405,11 +405,23 @@ def main():
          {"tile_edges": 256, "tile_nodes": 128}),
     ]
 
+    # every env key any tier may pin — snapshot/restored per call so a
+    # fallback at sweep size N does not leak conservative pins into
+    # size N+1's tier-0 attempt (which would then silently measure the
+    # conservative config while reporting no fallback_tier)
+    _tier_keys = sorted({k for pins, _ in tiers for k in pins})
+
     def measure_safe(b):
         import copy
 
+        env_snapshot = {k: os.environ.get(k) for k in _tier_keys}
         last_exc = None
         for i, (pins, arg_pins) in enumerate(tiers):
+            for k, snap_v in env_snapshot.items():
+                if snap_v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = snap_v
             for k, v in pins.items():
                 os.environ[k] = v
             targs = args

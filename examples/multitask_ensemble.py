@@ -111,6 +111,8 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
                       log_every=max(args.epochs // 20, 1),
                       t_max=min(500, args.epochs),
                       eval_every=args.eval_every,
+                      task_weights=_parse_endpoint_weights(
+                          args.endpoint_weights, endpoints),
                       tile_edges=(args.tile_edges
                                   if args.attn_impl == "tile" else None))
     ens = VmapEnsembleTrainer(model, cfg, num_members=len(todo),
@@ -191,6 +193,24 @@ def _train_members_vmap(args, endpoints, tr_ds, va_ds, out_dir):
                   flush=True)
 
 
+def _parse_endpoint_weights(spec, endpoints):
+    """``"LogD=3,LogS=1.5"`` → per-endpoint loss-weight tuple aligned
+    with ``endpoints`` (unnamed endpoints weight 1.0). None/"" → None
+    (uniform reference behavior)."""
+    if not spec:
+        return None
+    weights = {ep: 1.0 for ep in endpoints}
+    for item in spec.split(","):
+        name, _, val = item.partition("=")
+        name = name.strip()
+        if name not in weights:
+            raise SystemExit(
+                f"--endpoint-weights: unknown endpoint {name!r} "
+                f"(have {sorted(weights)})")
+        weights[name] = float(val)
+    return tuple(weights[ep] for ep in endpoints)
+
+
 def _train_members(args, endpoints, tr_ds, va_ds, out_dir):
     import jax
 
@@ -208,6 +228,8 @@ def _train_members(args, endpoints, tr_ds, va_ds, out_dir):
                           batch_train=64 if args.debug else 256,
                           seed=1000 + mi, log_every=max(args.epochs // 5, 1),
                           t_max=min(500, args.epochs),
+                          task_weights=_parse_endpoint_weights(
+                              args.endpoint_weights, endpoints),
                           tile_edges=(args.tile_edges
                                       if args.attn_impl == "tile" else None))
         trainer = Trainer(model, cfg)
@@ -245,11 +267,18 @@ def _ensemble_predict(ckpts, graphs, endpoints, batch_eval=1024):
     from gt_pyg_tpu.train import Trainer, TrainConfig
 
     all_preds = []
+    import dataclasses
+
     for path in ckpts:
         model, state, _ = load_model_checkpoint(path)
-        key = (tuple(endpoints), batch_eval,
-               getattr(model, "hidden_dim", None),
-               getattr(model, "num_gt_layers", None))
+        # key on the FULL module config (not just hidden/layers):
+        # checkpoints differing in heads/gate/aggregators/norm/dtype
+        # must not silently reuse a Trainer built for another model
+        model_key = tuple(
+            (f.name, repr(getattr(model, f.name)))
+            for f in dataclasses.fields(model)
+            if f.name not in ("parent", "name"))
+        key = (tuple(endpoints), batch_eval, model_key)
         trainer = _PREDICT_TRAINER.get(key)
         if trainer is None:
             trainer = Trainer(model, TrainConfig(
@@ -328,6 +357,10 @@ def main(argv=None):
                         "per-endpoint-selected ensemble alongside the "
                         "average-RAE one (round-4 confound (a) "
                         "isolation; see train/ensemble.py)")
+    p.add_argument("--endpoint-weights", default=None,
+                   help="per-endpoint loss weights, e.g. 'LogD=3' — "
+                        "weighted (not uniform) mean over per-task "
+                        "losses; the round-5 member-interference lever")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--test-csv", default=None,
                    help="held-out test CSV (raw assay columns OK) for "

@@ -202,14 +202,26 @@ class GraphTransformerNet(nn.Module):
         # this makes the values exactly bf16-representable, which is
         # the exactness contract of the MXU pooling-moments kernel
         # (ops/pallas/pool.py); rounding here is one more bf16 rounding
-        # of an already-bf16 compute stream.
+        # of an already-bf16 compute stream. The rounding is applied
+        # ONLY when the kernel will actually engage for this call
+        # (same gate multi_aggregate evaluates), so scatter-path eval
+        # numerics of pre-existing bf16 checkpoints are untouched when
+        # the kernel is off/unavailable.
+        from ..ops.segment import USE_ELL, _use_pool_matmul
+
+        sorted_ids = batch.tile_edges is None
+        ell_engages = (USE_ELL and self.max_nodes_per_graph is not None
+                       and sorted_ids)
         h_pool = h
         lowp = self.dtype == jnp.bfloat16
-        if lowp and h.dtype != jnp.bfloat16:
+        if (lowp and h.dtype != jnp.bfloat16 and not ell_engages
+                and _use_pool_matmul(h, bp + 1, True)):
             h_pool = h.astype(jnp.bfloat16).astype(h.dtype)
+        else:
+            lowp = h.dtype == jnp.bfloat16
         g = multi_aggregate(h_pool, batch.node_graph, bp + 1,
                             tuple(self.aggregators),
-                            sorted_ids=batch.tile_edges is None,
+                            sorted_ids=sorted_ids,
                             max_per_segment=self.max_nodes_per_graph,
                             lowp_exact=lowp)[:bp]
 

@@ -255,14 +255,30 @@ def segment_median(x, ids, num_segments, max_per_segment, sorted_ids=True):
     return jnp.where((cnt > 0).reshape((-1,) + (1,) * (x.ndim - 1)), med, 0.0)
 
 
-def _use_pool_matmul(x, lowp_exact: bool) -> bool:
+# VMEM the moments kernel may claim before auto mode falls back to the
+# scatter path: the kernel holds a [s_pad, 3d] f32 accumulator, a
+# [1024, s_pad] one-hot (bf16) and a [1, s_pad] count row resident
+# across the whole grid (ops/pallas/pool.py BlockSpecs). The flagship
+# readout (s_pad≈256-512, d=128) uses well under 2 MB; the lax
+# attention fallback calls multi_aggregate with num_segments ≈ the
+# padded NODE count (tens of thousands) which would demand hundreds of
+# MB and fail Mosaic compilation — that path must keep its scatters.
+_POOL_MATMUL_VMEM_CAP = 12 * 1024 * 1024
+
+
+def _use_pool_matmul(x, num_segments: int, lowp_exact: bool) -> bool:
     """Gate for the MXU segment-moments kernel (ops/pallas/pool.py).
 
     Engages only when the one-hot dot is EXACT for the data: x already
     bf16, or f32 that the caller certifies is bf16-representable
     (``lowp_exact`` — e.g. a bf16 stream promoted by a 0/1 mask
-    multiply, the flagship pooling case). ``GT_TPU_POOL=matmul`` forces
-    it (interpret mode included, for CPU tests), ``off`` disables."""
+    multiply, the flagship pooling case) — and, in auto mode, only when
+    the kernel's VMEM residency for ``num_segments`` segments fits
+    under ``_POOL_MATMUL_VMEM_CAP`` (large segment counts, e.g. the lax
+    attention fallback's per-node softmax denominators, stay on the
+    scatter path instead of failing Mosaic compilation).
+    ``GT_TPU_POOL=matmul`` forces it (interpret mode included, for CPU
+    tests), ``off`` disables."""
     mode = os.environ.get("GT_TPU_POOL", "auto").lower()
     if mode == "off" or x.ndim != 2:
         return False
@@ -270,6 +286,11 @@ def _use_pool_matmul(x, lowp_exact: bool) -> bool:
                 or (x.dtype == jnp.float32 and lowp_exact))
     if mode == "matmul":
         return ok_dtype
+    s_pad = -(-max(int(num_segments), 1) // 128) * 128
+    d = int(x.shape[1])
+    vmem_bytes = s_pad * 3 * d * 4 + 1024 * s_pad * 2 + s_pad * 4
+    if vmem_bytes > _POOL_MATMUL_VMEM_CAP:
+        return False
     from .pallas.pool import _should_interpret
 
     return ok_dtype and not _should_interpret()
@@ -312,7 +333,8 @@ def multi_aggregate(
 
     needs_moments = any(a in ("sum", "add", "mean", "var", "std")
                         for a in aggregators)
-    if needs_moments and ell is None and _use_pool_matmul(x, lowp_exact):
+    if (needs_moments and ell is None
+            and _use_pool_matmul(x, num_segments, lowp_exact)):
         from .pallas.pool import pool_moments
 
         s, ss, cnt = pool_moments(x, ids, num_segments)

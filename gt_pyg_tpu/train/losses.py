@@ -31,14 +31,22 @@ def _valid_and_weights(pred, y, mask):
     return valid, w
 
 
-def _mean_over_tasks_with_data(per_task, sum_w_t):
+def _mean_over_tasks_with_data(per_task, sum_w_t, task_weight=None):
+    """Average per-task losses over tasks with data. With ``task_weight``
+    (shape [T]) the mean is weighted — the per-endpoint loss-weighting
+    lever for multitask interference (all-ones weights reproduce the
+    uniform mean bit-exactly via the same sum/denominator form)."""
     task_mask = sum_w_t > 0
-    n = jnp.maximum(task_mask.sum(), 1)
-    return jnp.where(task_mask, per_task, 0.0).sum() / n, task_mask
+    if task_weight is None:
+        n = jnp.maximum(task_mask.sum(), 1)
+        return jnp.where(task_mask, per_task, 0.0).sum() / n, task_mask
+    tw = jnp.where(task_mask, task_weight.astype(per_task.dtype), 0.0)
+    denom = jnp.maximum(tw.sum(), _EPS)
+    return (jnp.where(task_mask, per_task, 0.0) * tw).sum() / denom, task_mask
 
 
 def masked_weighted_rae_loss(pred, y, mask, task_scale, eps=_EPS,
-                             clip_val=CLIP_VAL):
+                             clip_val=CLIP_VAL, task_weight=None):
     """Per-task mean |err| / MAD-scale, averaged over tasks with data."""
     pred = jnp.clip(pred, -clip_val, clip_val)
     valid, w = _valid_and_weights(pred, y, mask)
@@ -47,12 +55,13 @@ def masked_weighted_rae_loss(pred, y, mask, task_scale, eps=_EPS,
     sum_err_t = (abs_err * w).sum(axis=0)
     sum_w_t = w.sum(axis=0)
     mean_t = sum_err_t / jnp.maximum(sum_w_t, eps)
-    loss, _ = _mean_over_tasks_with_data(mean_t, sum_w_t)
+    loss, _ = _mean_over_tasks_with_data(mean_t, sum_w_t, task_weight)
     return loss
 
 
 def masked_weighted_huber_loss(pred, y, mask, delta=1.0, task_scale=None,
-                               clip_val=CLIP_VAL, eps=_EPS):
+                               clip_val=CLIP_VAL, eps=_EPS,
+                               task_weight=None):
     pred = jnp.clip(pred, -clip_val, clip_val)
     valid, w = _valid_and_weights(pred, y, mask)
     diff = jnp.where(valid, pred - y, 0.0)
@@ -64,11 +73,12 @@ def masked_weighted_huber_loss(pred, y, mask, delta=1.0, task_scale=None,
     sum_t = (loss * w).sum(axis=0)
     sum_w_t = w.sum(axis=0)
     mean_t = sum_t / jnp.maximum(sum_w_t, eps)
-    out, _ = _mean_over_tasks_with_data(mean_t, sum_w_t)
+    out, _ = _mean_over_tasks_with_data(mean_t, sum_w_t, task_weight)
     return out
 
 
-def masked_weighted_corr_loss(pred, y, mask, eps=_EPS, clip_val=CLIP_VAL):
+def masked_weighted_corr_loss(pred, y, mask, eps=_EPS, clip_val=CLIP_VAL,
+                              task_weight=None):
     """1 - weighted Pearson correlation, per task."""
     pred = jnp.clip(pred, -clip_val, clip_val)
     valid, w = _valid_and_weights(pred, y, mask)
@@ -84,7 +94,7 @@ def masked_weighted_corr_loss(pred, y, mask, eps=_EPS, clip_val=CLIP_VAL):
     var_p = (w * p_c * p_c).sum(axis=0)
     var_y = (w * y_c * y_c).sum(axis=0)
     corr = cov / (jnp.sqrt(var_p + eps) * jnp.sqrt(var_y + eps) + eps)
-    out, _ = _mean_over_tasks_with_data(1.0 - corr, sum_w_t)
+    out, _ = _mean_over_tasks_with_data(1.0 - corr, sum_w_t, task_weight)
     return out
 
 
@@ -92,7 +102,7 @@ def masked_weighted_kendall_rank_loss(
     pred, y, mask, rng: Optional[jax.Array] = None,
     num_pairs_per_task: int = 512, tau_temp: float = 1.0,
     probe: int = 8192, clip_val=CLIP_VAL, eps=_EPS,
-    pair_sampler: str = "valid",
+    pair_sampler: str = "valid", task_weight=None,
 ):
     """Differentiable pairwise ranking loss: softplus(-sign(Δy)·Δp/τ) over
     the top-|Δy| sampled pairs per task (reference cell 7's
@@ -161,11 +171,16 @@ def masked_weighted_kendall_rank_loss(
     losses, has = jax.vmap(per_task)(jnp.arange(T))
     cnt_t = valid.sum(axis=0)
     task_mask = (cnt_t > 1) & has
+    if task_weight is not None:
+        tw = jnp.where(task_mask, task_weight.astype(losses.dtype), 0.0)
+        return (jnp.where(task_mask, losses, 0.0) * tw).sum() / \
+            jnp.maximum(tw.sum(), eps)
     n = jnp.maximum(task_mask.sum(), 1)
     return jnp.where(task_mask, losses, 0.0).sum() / n
 
 
-def masked_r2_style_loss(pred, y, mask, eps=_EPS, clip_val=CLIP_VAL):
+def masked_r2_style_loss(pred, y, mask, eps=_EPS, clip_val=CLIP_VAL,
+                         task_weight=None):
     """SSE / VAR per task (pushes R² toward 1)."""
     pred = jnp.clip(pred, -clip_val, clip_val)
     valid, _ = _valid_and_weights(pred, y, mask)
@@ -178,6 +193,10 @@ def masked_r2_style_loss(pred, y, mask, eps=_EPS, clip_val=CLIP_VAL):
     var = (y_c ** 2).sum(axis=0)
     good = (cnt > 1) & (var > eps)
     l_t = sse / (var + eps)
+    if task_weight is not None:
+        tw = jnp.where(good, task_weight.astype(l_t.dtype), 0.0)
+        return (jnp.where(good, l_t, 0.0) * tw).sum() / \
+            jnp.maximum(tw.sum(), eps)
     n = jnp.maximum(good.sum(), 1)
     return jnp.where(good, l_t, 0.0).sum() / n
 
@@ -186,29 +205,34 @@ def custom_loss(
     pred, y, mask, *,
     w_rae=1.0, w_huber=1.0, w_corr=0.5, w_tau=0.5, w_r2=0.1,
     huber_delta=1.0, clip_val=CLIP_VAL, tau_temp=1.0, rank_pairs=512,
-    task_scale=None, rng=None, pair_sampler="valid",
+    task_scale=None, rng=None, pair_sampler="valid", task_weight=None,
 ):
     """Weighted composite (reference cell 7 ``custom_loss``). Terms with
-    zero weight are skipped at trace time."""
+    zero weight are skipped at trace time. ``task_weight`` (shape [T])
+    replaces the uniform mean over tasks with a weighted mean in every
+    term — the per-endpoint loss-weighting lever for multitask member
+    interference (round-5 diagnosis: RESULTS.md member diagnostics)."""
     pred = jnp.clip(pred, -clip_val, clip_val)
     total = jnp.asarray(0.0, dtype=pred.dtype)
     if w_rae > 0 and task_scale is not None:
         total += w_rae * masked_weighted_rae_loss(
-            pred, y, mask, task_scale=task_scale, clip_val=clip_val)
+            pred, y, mask, task_scale=task_scale, clip_val=clip_val,
+            task_weight=task_weight)
     if w_huber > 0:
         total += w_huber * masked_weighted_huber_loss(
             pred, y, mask, delta=huber_delta, task_scale=task_scale,
-            clip_val=clip_val)
+            clip_val=clip_val, task_weight=task_weight)
     if w_corr > 0:
-        total += w_corr * masked_weighted_corr_loss(pred, y, mask,
-                                                    clip_val=clip_val)
+        total += w_corr * masked_weighted_corr_loss(
+            pred, y, mask, clip_val=clip_val, task_weight=task_weight)
     if w_tau > 0:
         total += w_tau * masked_weighted_kendall_rank_loss(
             pred, y, mask, rng=rng, num_pairs_per_task=rank_pairs,
             tau_temp=tau_temp, clip_val=clip_val,
-            pair_sampler=pair_sampler)
+            pair_sampler=pair_sampler, task_weight=task_weight)
     if w_r2 > 0:
-        total += w_r2 * masked_r2_style_loss(pred, y, mask, clip_val=clip_val)
+        total += w_r2 * masked_r2_style_loss(
+            pred, y, mask, clip_val=clip_val, task_weight=task_weight)
     return total
 
 

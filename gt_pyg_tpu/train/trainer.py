@@ -52,6 +52,11 @@ class TrainConfig:
     tau_temp: float = 2.0
     rank_pairs: int = 512
     loss: str = "composite"                  # or "mae" (demo recipe)
+    task_weights: Optional[Sequence[float]] = None
+                                             # per-endpoint loss weights
+                                             # (aligned with `endpoints`);
+                                             # None = uniform mean over
+                                             # tasks (reference behavior)
     seed: int = 1928374650
     node_multiple: int = 1024
     edge_multiple: int = 2048
@@ -278,12 +283,15 @@ class Trainer:
         c = self.cfg
         if c.loss == "mae":
             return mae_loss(pred, y, mask)
+        tw = None
+        if c.task_weights is not None:
+            tw = jnp.asarray(c.task_weights, dtype=jnp.float32)
         return custom_loss(
             pred, y, mask,
             w_rae=c.w_rae, w_huber=c.w_huber, w_corr=c.w_corr,
             w_tau=c.w_tau, w_r2=c.w_r2, huber_delta=c.huber_delta,
             tau_temp=c.tau_temp, rank_pairs=c.rank_pairs,
-            task_scale=task_scale, rng=rng,
+            task_scale=task_scale, rng=rng, task_weight=tw,
         )
 
     # ---- freeze masks ----

@@ -323,3 +323,93 @@ class TestMultitaskNaNSafety:
 
         assert np.isfinite(float(f(pred)))
         assert bool(jnp.all(jnp.isfinite(jax.grad(f)(pred))))
+
+
+class TestTaskWeights:
+    """Per-endpoint loss weighting (the round-6 multitask-interference
+    lever): all-ones weights must reproduce the uniform task mean
+    exactly; non-uniform weights must tilt every composite term toward
+    the upweighted task; tasks without data contribute no weight."""
+
+    def _setup(self):
+        rng = np.random.default_rng(7)
+        B, T = 64, 9
+        y = rng.standard_normal((B, T)).astype(np.float32)
+        mask = (rng.random((B, T)) > 0.4).astype(np.float32)
+        y[mask == 0] = np.nan
+        pred = (np.nan_to_num(y) + 0.3
+                * rng.standard_normal((B, T))).astype(np.float32)
+        return (jnp.asarray(pred), jnp.asarray(y), jnp.asarray(mask),
+                jnp.ones((T,), jnp.float32))
+
+    def test_ones_equal_uniform(self):
+        pred, y, mask, ts = self._setup()
+        kw = dict(task_scale=ts, rng=jax.random.PRNGKey(3))
+        base = custom_loss(pred, y, mask, **kw)
+        ones = custom_loss(pred, y, mask, task_weight=jnp.ones(9), **kw)
+        assert float(base) == pytest.approx(float(ones), rel=1e-6)
+
+    def test_upweight_tilts_each_term(self):
+        pred, y, mask, ts = self._setup()
+        w = jnp.ones((9,)).at[0].set(5.0)
+        for fn in (
+            lambda tw: masked_weighted_rae_loss(
+                pred, y, mask, ts, task_weight=tw),
+            lambda tw: masked_weighted_huber_loss(
+                pred, y, mask, task_scale=ts, task_weight=tw),
+            lambda tw: masked_weighted_corr_loss(
+                pred, y, mask, task_weight=tw),
+            lambda tw: masked_r2_style_loss(pred, y, mask, task_weight=tw),
+            lambda tw: masked_weighted_kendall_rank_loss(
+                pred, y, mask, rng=jax.random.PRNGKey(0), task_weight=tw),
+        ):
+            lu, lw = float(fn(None)), float(fn(w))
+            # weighted mean moves toward task 0's per-task loss; it must
+            # differ from uniform (task 0 is not exactly at the mean)
+            assert np.isfinite(lw) and lu != pytest.approx(lw, abs=1e-9)
+
+    def test_weighted_mean_closed_form(self):
+        """Weighted RAE == sum(w_t * rae_t) / sum(w_t) over tasks with
+        data (computed per-task via one-hot weight probes)."""
+        pred, y, mask, ts = self._setup()
+        per_task = []
+        for t in range(9):
+            onehot = jnp.zeros((9,)).at[t].set(1.0)
+            per_task.append(float(masked_weighted_rae_loss(
+                pred, y, mask, ts, task_weight=onehot)))
+        w = np.arange(1, 10, dtype=np.float32)
+        expect = float((w * np.array(per_task)).sum() / w.sum())
+        got = float(masked_weighted_rae_loss(
+            pred, y, mask, ts, task_weight=jnp.asarray(w)))
+        assert got == pytest.approx(expect, rel=1e-5)
+
+    def test_empty_task_gets_no_weight(self):
+        pred, y, mask, ts = self._setup()
+        y = y.at[:, 2].set(jnp.nan)
+        mask = mask.at[:, 2].set(0.0)
+        # giant weight on the empty task must be inert
+        w = jnp.ones((9,)).at[2].set(1e6)
+        lu = float(masked_weighted_rae_loss(pred, y, mask, ts))
+        lw = float(masked_weighted_rae_loss(pred, y, mask, ts,
+                                            task_weight=w))
+        assert np.isfinite(lw)
+        base_w = float(masked_weighted_rae_loss(
+            pred, y, mask, ts, task_weight=jnp.ones(9)))
+        assert lw == pytest.approx(base_w, rel=1e-6)
+        assert lu == pytest.approx(base_w, rel=1e-6)
+
+    def test_trainer_config_plumbing(self):
+        """TrainConfig.task_weights reaches the composite loss."""
+        from gt_pyg_tpu.train.trainer import TrainConfig, Trainer
+
+        pred, y, mask, ts = self._setup()
+        cfg_u = TrainConfig(endpoints=tuple("t%d" % i for i in range(9)))
+        cfg_w = TrainConfig(endpoints=tuple("t%d" % i for i in range(9)),
+                            task_weights=(3.0,) + (1.0,) * 8)
+        t_u = Trainer.__new__(Trainer)
+        t_u.cfg = cfg_u
+        t_w = Trainer.__new__(Trainer)
+        t_w.cfg = cfg_w
+        lu = float(t_u._loss(pred, y, mask, ts, jax.random.PRNGKey(0)))
+        lw = float(t_w._loss(pred, y, mask, ts, jax.random.PRNGKey(0)))
+        assert np.isfinite(lu) and np.isfinite(lw) and lu != lw

@@ -109,7 +109,33 @@ class TestMultiAggregate:
     def test_gate_respects_lowp_exact(self):
         x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 16)),
                         jnp.float32)
-        assert not _use_pool_matmul(x, lowp_exact=False)
+        assert not _use_pool_matmul(x, 8, lowp_exact=False)
+
+    def test_gate_vmem_cap(self, monkeypatch):
+        """Auto mode must refuse segment counts whose kernel residency
+        ([s_pad, 3d] f32 accumulator + [1024, s_pad] one-hot) exceeds
+        the VMEM cap — e.g. the lax attention fallback's per-node
+        softmax denominators (num_segments ≈ padded node count), which
+        would fail Mosaic compilation. Forced matmul mode stays
+        unconditional (tests pin it on CPU interpret)."""
+        monkeypatch.setenv("GT_TPU_POOL", "auto")
+        x = jnp.zeros((16, 128), jnp.bfloat16)
+        assert not _use_pool_matmul(x, 40960, lowp_exact=False)
+        monkeypatch.setenv("GT_TPU_POOL", "matmul")
+        assert _use_pool_matmul(x, 40960, lowp_exact=False)
+
+    def test_huge_segment_count_scatter_fallback(self, monkeypatch):
+        """multi_aggregate with a lax-fallback-sized num_segments must
+        run (scatter path) rather than attempt the kernel."""
+        monkeypatch.setenv("GT_TPU_POOL", "auto")
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(64, 8)), jnp.bfloat16)
+        ids = jnp.asarray(np.sort(rng.integers(0, 40960, size=64)),
+                          jnp.int32)
+        out = multi_aggregate(x, ids, 40960, ("sum", "mean"),
+                              sorted_ids=True)
+        assert out.shape == (40960, 16)
+        assert bool(jnp.all(jnp.isfinite(out)))
 
     def test_gradients_match(self, monkeypatch):
         x, ids = _data(n=128, s=9, d=32)
