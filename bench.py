@@ -158,7 +158,7 @@ def measure(args, batch_graphs):
     real_edges = int(batch.num_edges)
 
     model = GraphTransformerNet(
-        node_dim_in=140, edge_dim_in=39, hidden_dim=128,
+        node_dim_in=140, edge_dim_in=39, hidden_dim=args.hidden,
         num_gt_layers=NUM_LAYERS, num_heads=8, dropout=0.3, norm="bn",
         gate=True, gt_aggregators=("sum", "mean"),
         aggregators=("sum", "mean", "max", "std"),
@@ -167,7 +167,8 @@ def measure(args, batch_graphs):
         norm_fold=args.norm_fold,
         dtype=jnp.bfloat16,
     )
-    variables = init_on_host(model, batch, jax.random.PRNGKey(0))
+    variables = init_on_host(model, batch,
+                             jax.random.PRNGKey(args.bench_seed))
     jb = jax.tree_util.tree_map(jnp.asarray, batch)
     # Linear LR warmup like the production recipe (train_logd.ipynb cell
     # 11 warms up over 25 epochs). Without it the step is a knife's edge:
@@ -245,7 +246,7 @@ def measure(args, batch_graphs):
     params, bstats = variables["params"], variables.get("batch_stats", {})
     # rbg keys are the framework default: threefry key derivation measured
     # ~11 ms/step of the 62.5 ms flagship step on v5e (RESULTS.md)
-    rng = jax.random.key(0, impl="rbg")
+    rng = jax.random.key(args.bench_seed, impl="rbg")
     eval_first = float(eval_loss(params, bstats, jb))
 
     print(f"# [{args.attn_impl} b={batch_graphs}] setup "
@@ -291,10 +292,12 @@ def measure(args, batch_graphs):
 
     npad = int(batch.node_x.shape[0])
     ep = int(batch.edge_attr.shape[0])
-    flops_step = 3 * model_flops_fwd(npad, ep, batch_graphs)
+    flops_step = 3 * model_flops_fwd(npad, ep, batch_graphs,
+                                     hidden=args.hidden)
     return {
         "attn_impl": args.attn_impl,
         "ffn_impl": args.ffn_impl,
+        "hidden": args.hidden,
         "batch_graphs": batch_graphs,
         "real_edges": real_edges,
         "real_nodes": int(batch.num_nodes),
@@ -338,6 +341,15 @@ def measure(args, batch_graphs):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--bench-seed", type=int, default=0,
+                   help="init + rng-stream seed; non-zero values are "
+                        "for repeated paired A/Bs (e.g. the pool "
+                        "kernel's off/auto eval-delta repeats)")
+    p.add_argument("--hidden", type=int, default=128,
+                   help="model hidden dim; non-default values are for "
+                        "MFU-scaling probes (the hidden-128 per-op "
+                        "multiplier theory: if MFU ~doubles at 256, the "
+                        "multiplier is the cost of narrow matmuls)")
     p.add_argument("--attn-impl", default="tile",
                    choices=["tile", "lax", "pallas"])
     p.add_argument("--ffn-impl", default="auto",
