@@ -186,6 +186,7 @@ def cmd_train(args) -> int:
                     else None),
         mesh_devices=mesh_n,
         keep_top_k=max(1, args.avg_top_k),
+        ema_decay=args.ema,
     )
     trainer = Trainer(model, cfg)
 
@@ -296,6 +297,19 @@ def cmd_train(args) -> int:
                 "batch_stats": result["state"]["batch_stats"]},
         out / "last.ckpt", epoch=args.epochs,
         extra={"endpoints": list(endpoints), "prng_impl": args.prng})
+    if args.ema and result.get("best_ema", {}).get("state") is not None:
+        be = result["best_ema"]
+        logger.info("best EMA(decay=%s) state: val RAE %.4f at epoch %d",
+                    args.ema, be["val_rae"], be["epoch"])
+        save_model_checkpoint(
+            model, be["state"], out / "best_ema.ckpt",
+            epoch=be["epoch"], best_metric=float(be["val_rae"]),
+            extra={"endpoints": list(endpoints), "prng_impl": args.prng,
+                   "ema_decay": float(args.ema),
+                   "train_mins": [float(x) for x in result["train_mins"]],
+                   "train_maxs": [float(x) for x in result["train_maxs"]],
+                   "task_scale": [float(x)
+                                  for x in result["task_scale"]]})
     if args.avg_top_k > 1 and result.get("topk"):
         # within-run checkpoint averaging (SWA over the best-k states)
         import jax.numpy as jnp
@@ -505,6 +519,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", default=None,
                    help="resume training from a checkpoint with optimizer "
                         "state (written by --save-every)")
+    t.add_argument("--ema", type=float, default=None,
+                   help="per-epoch EMA decay of the weights (e.g. 0.98); "
+                        "tracks + val-selects an EMA stream alongside the "
+                        "raw one and saves best_ema.ckpt (recipe lever)")
     t.add_argument("--avg-top-k", type=int, default=1,
                    help="track the K best-val states and ALSO save their "
                         "parameter average as best_avgK.ckpt (within-run "

@@ -62,6 +62,11 @@ class TrainConfig:
     edge_multiple: int = 2048
     eval_every: int = 1
     log_every: int = 5
+    ema_decay: Optional[float] = None        # per-epoch EMA of weights
+                                             # (SWA-style recipe lever);
+                                             # tracked + val-selected
+                                             # alongside the raw stream,
+                                             # returned as "best_ema"
     keep_top_k: int = 1                      # track the k best-val-RAE
                                              # states (k>1 enables
                                              # within-run checkpoint
@@ -681,6 +686,18 @@ class Trainer:
         best = {"val_rae": float("inf"), "state": None, "epoch": 0}
         per_ep_best = {ep: {"nma": float("inf"), "state": None, "epoch": 0}
                        for ep in c.endpoints}
+        # EMA stream (cfg.ema_decay): a per-epoch exponential moving
+        # average of params AND batch_stats, evaluated + val-selected
+        # like the raw stream (one extra eval per epoch when enabled)
+        ema_state = None
+        best_ema = {"val_rae": float("inf"), "state": None, "epoch": 0}
+        if c.ema_decay is not None:
+            d = float(c.ema_decay)
+
+            @jax.jit
+            def _ema_update(ema, cur):
+                return jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p, ema, cur)
         topk: List[Dict[str, Any]] = []      # c.keep_top_k best states
         history: List[Dict[str, Any]] = []
 
@@ -691,6 +708,22 @@ class Trainer:
                 state, train_graphs, task_scale, epoch, rng)
             val_loss, val_metrics, *_ = self.evaluate(state, val_graphs,
                                                       task_scale)
+            if c.ema_decay is not None:
+                cur = {"params": state["params"],
+                       "batch_stats": state["batch_stats"]}
+                ema_state = (jax.tree_util.tree_map(lambda x: x.copy(), cur)
+                             if ema_state is None
+                             else _ema_update(ema_state, cur))
+                _, ema_metrics, *_ = self.evaluate(
+                    {"params": ema_state["params"],
+                     "batch_stats": ema_state["batch_stats"]},
+                    val_graphs, task_scale)
+                ema_rae = ema_metrics["Average"]["RAE"]
+                if np.isfinite(ema_rae) and ema_rae < best_ema["val_rae"]:
+                    best_ema = {"val_rae": ema_rae,
+                                "state": jax.tree_util.tree_map(
+                                    lambda x: x.copy(), ema_state),
+                                "epoch": epoch}
             avg = val_metrics["Average"]
             history.append({"epoch": epoch, "train_loss": train_loss,
                             "val_loss": val_loss, **avg,
@@ -744,7 +777,8 @@ class Trainer:
             for cb in callbacks or []:
                 cb(epoch, state, history[-1])
 
-        return {"state": state, "best": best, "per_endpoint_best": per_ep_best,
+        return {"state": state, "best": best, "best_ema": best_ema,
+                "per_endpoint_best": per_ep_best,
                 "topk": topk, "history": history,
                 "train_mins": train_mins, "train_maxs": train_maxs,
                 "task_scale": np.asarray(task_scale)}

@@ -90,3 +90,32 @@ class TestFit:
         trainer, state, ds = setup
         preds = trainer.predict(state, ds)
         assert preds.shape == (len(ds), 1)
+
+
+class TestEMA:
+    def test_ema_stream_tracked_and_distinct(self, setup):
+        """cfg.ema_decay tracks a val-selected EMA state alongside the
+        raw stream: returned, finite, and (after >1 epoch of updates)
+        parameter-distinct from the raw best state."""
+        import dataclasses
+
+        trainer, state, ds = setup
+        cfg = dataclasses.replace(trainer.cfg, ema_decay=0.5)
+        t = Trainer(trainer.model, cfg)
+        res = t.fit(t.init_state(
+            next(iter_batches(ds, 4, node_multiple=32, edge_multiple=64))),
+            ds[:6], ds[6:])
+        be = res["best_ema"]
+        assert be["state"] is not None and np.isfinite(be["val_rae"])
+        assert be["epoch"] >= 1
+        raw = res["best"]["state"]["params"]
+        ema = be["state"]["params"]
+        leaves_r = jax.tree_util.tree_leaves(raw)
+        leaves_e = jax.tree_util.tree_leaves(ema)
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(leaves_r, leaves_e))
+
+    def test_ema_off_by_default(self, setup):
+        trainer, state, ds = setup
+        res = trainer.fit(state, ds[:6], ds[6:])
+        assert res["best_ema"]["state"] is None

@@ -59,6 +59,18 @@ if ! past_deadline; then
     && note "t_max=2000 probe done" || note "t_max probe FAILED/timeout"
 fi
 
+# 3b'. second recipe lever, one change per arm: EMA stream (decay 0.98
+# per epoch ~ 0.999 per step at 18 steps/epoch), same seed 23
+if ! past_deadline; then
+  mkdir -p runs/r6_ema
+  timeout 3600 python -m gt_pyg_tpu.cli train --csv \
+    /root/reference/examples/data/train-set/expansion_log_data_train.csv \
+    --endpoint LogD --epochs 2000 --bf16 --attn-impl tile --seed 23 \
+    --avg-top-k 3 --ema 0.98 --log-every 100 \
+    --out runs/r6_ema/s23 >> /tmp/r6_ema.log 2>&1 \
+    && note "EMA probe done" || note "EMA probe FAILED/timeout"
+fi
+
 # 3c. evaluate everything trained so far (incremental summary.json)
 timeout 3000 python -u tools/seed_study.py --seeds 11,23,37,53,71 \
   --out runs/r5_seed_study --eval-only >> /tmp/r6_seed_study.log 2>&1 \
@@ -67,6 +79,11 @@ if [ -d runs/r6_tmax/s23 ]; then
   timeout 2000 python -u tools/seed_study.py --seeds 23 \
     --out runs/r6_tmax --eval-only >> /tmp/r6_tmax.log 2>&1 \
     && note "t_max eval done" || note "t_max eval FAILED"
+fi
+if [ -d runs/r6_ema/s23 ]; then
+  timeout 2000 python -u tools/seed_study.py --seeds 23 \
+    --out runs/r6_ema --eval-only >> /tmp/r6_ema.log 2>&1 \
+    && note "EMA eval done" || note "EMA eval FAILED"
 fi
 
 # 4. SHIFT=matmul trained-horizon arms (select side = s11/s23 above)

@@ -132,7 +132,7 @@ def main(argv=None):
     rows = {}
     preds_by_seed = {}
     for s in seeds:
-        for tag in ("best", "best_avg3"):
+        for tag in ("best", "best_avg3", "best_ema"):
             ckpt = base / f"s{s}" / f"{tag}.ckpt"
             if not ckpt.exists():
                 continue
