@@ -22,14 +22,17 @@ note() { echo "$(date -u +%H:%M:%S) $*" >> "$Q"; }
 note "r6 queue start (deadline=$DEADLINE_EPOCH)"
 
 # 1. hidden-256 probe (default tier-0 pins; tile kernels parameterized)
-timeout 1800 python bench.py --hidden 256 \
-  > runs/bench_hidden256.json 2> runs/bench_hidden256.log \
-  && note "hidden-256 probe done" || note "hidden-256 probe FAILED"
+if [ ! -s runs/bench_hidden256.json ]; then
+  timeout 1800 python bench.py --hidden 256 \
+    > runs/bench_hidden256.json 2> runs/bench_hidden256.log \
+    && note "hidden-256 probe done" || note "hidden-256 probe FAILED"
+fi
 
 # 2. pool paired repeats: identical config, GT_TPU_POOL only difference
 for s in 1 2 3; do
   past_deadline && { note "deadline before pool pair $s"; break; }
   for mode in off auto; do
+    [ -s "runs/bench_pool_${mode}_s${s}.json" ] && continue
     GT_TPU_POOL=$mode timeout 1500 python bench.py --bench-seed "$s" \
       > "runs/bench_pool_${mode}_s${s}.json" \
       2> "runs/bench_pool_${mode}_s${s}.log" \
